@@ -1,0 +1,232 @@
+"""count — stream sample reads, probe the dictionary, accumulate depth.
+
+Reference: QuicKmer.c:304-545 (single-threaded parser feeding a pthread
+FIFO worker pool doing atomic u16 increments). TPU-native architecture:
+
+  host: chunked file reads → native streaming parser (2-bit codes with
+        separators; per-line reset semantics = SURVEY.md Q4) → fixed-shape
+        device batches with a (k-1)-code carry so no window is lost at
+        batch boundaries
+  device (one jit step, donated accumulator):
+        unrolled rolling codec (u32 pairs) → DJB probe with vectorized
+        gathers → slot→rank gather → scatter-add into a dense
+        rank-ordered u32 depth vector (+1 trash bin for padding lanes,
+        probe misses, and quirk-Q3 phantom hits)
+
+Serialization is a plain dump of the dense vector: the reference's
+chain-walk at dump time (QuicKmer.c:494-516) is precomputed into the
+rank map at dictionary load. Depth wraps mod 65536 on write for .bin
+parity (SURVEY.md Q8).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quickmer2_tpu.dictionary import Dictionary
+from quickmer2_tpu.io import formats
+from quickmer2_tpu.ops import codec
+from quickmer2_tpu.ops.codec import SEP
+from quickmer2_tpu.ops.hash import djb_pair
+from quickmer2_tpu.utils import native
+
+
+@functools.partial(jax.jit, static_argnames=("k", "hash_size", "max_steps"),
+                   donate_argnums=(4,))
+def count_step(codes, table_hi, table_lo, rank, depth, *, k: int,
+               hash_size: int, max_steps: int = 4096):
+    """One device batch: codes u8[B] → updated depth u32[n_kmers+1]."""
+    chi, clo, valid = codec.sliding_kmers(codes, k)
+    idx0 = djb_pair(chi, clo) & jnp.uint32(hash_size - 1)
+    step = jnp.where(idx0 & jnp.uint32(hash_size >> 1), -1, 1).astype(jnp.int32)
+    idx = idx0.astype(jnp.int32)
+
+    khi, klo = chi, clo
+
+    def probe_once(idx):
+        ehi = table_hi[idx]
+        elo = table_lo[idx]
+        return (ehi == khi) & (elo == klo), (ehi == 0) & (elo == 0)
+
+    def cond(state):
+        _, done, it = state
+        return (~jnp.all(done)) & (it < max_steps)
+
+    def body(state):
+        idx, done, it = state
+        idx = jnp.where(done, idx, idx + step)
+        match, empty = probe_once(idx)
+        done = done | match | empty
+        return idx, done, it + 1
+
+    match0, empty0 = probe_once(idx)
+    idx, _, _ = jax.lax.while_loop(cond, body, (idx, match0 | empty0, jnp.int32(0)))
+
+    trash = depth.shape[0] - 1
+    r = jnp.where(valid, rank[idx], trash)   # rank map sends empty slots to trash
+    return depth.at[r].add(1, mode="promise_in_bounds")
+
+
+class PyPacker:
+    """Pure-python fallback for utils.native.StreamPacker (slow; tests/CI)."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+        self._tail = b""
+        self._record_fasta = mode == "fasta-record"
+
+    def feed(self, data: bytes) -> np.ndarray:
+        data = self._tail + data
+        # keep any trailing partial line for the next feed
+        cut = data.rfind(b"\n") + 1
+        self._tail = data[cut:]
+        data = data[:cut]
+        out = []
+        lines = data.split(b"\n")
+        if self.mode == "fastq":
+            # assumes 4-line records within the flushed region
+            for i, line in enumerate(lines):
+                if i % 4 == 1:
+                    out.append(codec.encode_bases(line))
+                    out.append(np.array([SEP], np.uint8))
+        else:
+            for line in lines:
+                if line.startswith(b">"):
+                    out.append(np.array([SEP], np.uint8))
+                elif line:
+                    out.append(codec.encode_bases(line))
+                    if not self._record_fasta:
+                        out.append(np.array([SEP], np.uint8))
+        if not out:
+            return np.zeros(0, np.uint8)
+        return np.concatenate(out)
+
+
+def make_packer(mode: str):
+    if native.available():
+        return native.StreamPacker(mode)
+    return PyPacker(mode)
+
+
+def detect_format(path: str) -> str:
+    """FASTQ autodetected by a leading '@' (QuicKmer.c:393)."""
+    with open(path, "rb") as f:
+        first = f.read(1)
+    return "fastq" if first == b"@" else "fasta-lines"
+
+
+class DepthCounter:
+    """Accumulates k-mer depth over streamed code batches on device."""
+
+    def __init__(self, dictionary: Dictionary, batch_bases: int = 1 << 24):
+        self.dict = dictionary
+        self.k = dictionary.kmer_size
+        self.batch_bases = batch_bases
+        hi, lo, rank = dictionary.device_arrays()
+        self.table_hi = jnp.asarray(hi)
+        self.table_lo = jnp.asarray(lo)
+        self.rank = jnp.asarray(rank)
+        self.depth = jnp.zeros(dictionary.n_kmers + 1, dtype=jnp.uint32)
+        self._carry = np.zeros(0, np.uint8)
+        self._pending: list[np.ndarray] = []
+        self._pending_len = 0
+        self.total_kmer_windows = 0
+
+    def feed_codes(self, chunk: np.ndarray) -> None:
+        self._pending.append(chunk)
+        self._pending_len += len(chunk)
+        while self._pending_len + len(self._carry) >= self.batch_bases:
+            buf = np.concatenate([self._carry] + self._pending)
+            self._pending = [buf[self.batch_bases :]]
+            self._pending_len = len(self._pending[0])
+            self._run(buf[: self.batch_bases])
+
+    def _run(self, batch: np.ndarray) -> None:
+        assert len(batch) == self.batch_bases
+        self.depth = count_step(
+            jnp.asarray(batch), self.table_hi, self.table_lo, self.rank,
+            self.depth, k=self.k, hash_size=self.dict.hash_size)
+        self.total_kmer_windows += len(batch) - self.k + 1
+        self._carry = batch[-(self.k - 1):].copy()
+
+    def finish(self) -> np.ndarray:
+        """Flush the tail (padded to full batch shape with separators) and
+        return host depth u32[n_kmers] (trash bin dropped)."""
+        if self._pending_len:
+            buf = np.concatenate([self._carry] + self._pending)
+            pad = np.full(self.batch_bases - len(buf) % self.batch_bases, SEP, np.uint8)
+            buf = np.concatenate([buf, pad])
+            for off in range(0, len(buf), self.batch_bases):
+                self._run(buf[off : off + self.batch_bases])
+            self._pending, self._pending_len = [], 0
+        return np.asarray(jax.device_get(self.depth))[:-1]
+
+
+def gc_curve_from_depth(depth_u16: np.ndarray, qgc: np.ndarray):
+    """Control-k-mer depth-vs-GC curve (QuicKmer.c:498-542 semantics).
+
+    Returns (mean[401], count[401], var[401], mean_depth). Accumulation in
+    float64 over the u16-wrapped depths, matching the reference's doubles.
+    """
+    ctrl = (qgc & formats.CTRL_FLAG) != 0
+    bins = (qgc[ctrl] & formats.GC_BIN_MASK).astype(np.int64)
+    d = depth_u16[ctrl].astype(np.float64)
+    n = formats.GC_BINS
+    count = np.bincount(bins, minlength=n)[:n]
+    sum_d = np.bincount(bins, weights=d, minlength=n)[:n]
+    sum_d2 = np.bincount(bins, weights=d * d, minlength=n)[:n]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(count > 0, sum_d / np.maximum(count, 1), 0.0)
+        var = np.where(count > 0, sum_d2 / np.maximum(count, 1) - mean * mean, 0.0)
+    total = count.sum()
+    mean_depth = float(sum_d.sum() / total) if total else 0.0
+    return mean, count, var, mean_depth
+
+
+def run_count(qm_path: str, sample_path: str, out_prefix: str,
+              batch_bases: int = 1 << 24, fmt: str | None = None,
+              chunk_bytes: int = 1 << 24, verbose: bool = True) -> dict:
+    """Full count phase: .qm + reads → <out_prefix>.bin (+ .txt if the
+    dictionary's .qgc companion exists). Returns summary stats."""
+    t0 = time.time()
+    dictionary = Dictionary.from_qm(qm_path)
+    counter = DepthCounter(dictionary, batch_bases=batch_bases)
+    fmt = fmt or detect_format(sample_path)
+    packer = make_packer(fmt)
+    with open(sample_path, "rb") as f:
+        while True:
+            data = f.read(chunk_bytes)
+            if not data:
+                break
+            counter.feed_codes(packer.feed(data))
+    depth = counter.finish()
+    depth_u16 = (depth & 0xFFFF).astype(np.uint16)   # Q8 wrap parity
+    formats.write_u16(out_prefix + ".bin", depth_u16)
+
+    stats = {"n_kmers": dictionary.n_kmers,
+             "total_windows": counter.total_kmer_windows,
+             "elapsed_s": time.time() - t0}
+    qgc_path = _companion(qm_path, ".qgc")
+    if not os.path.exists(qgc_path):
+        qgc_path = qm_path + ".qgc"
+    if os.path.exists(qgc_path):
+        qgc = formats.read_u16(qgc_path)[: dictionary.n_kmers]
+        mean, count, var, mean_depth = gc_curve_from_depth(depth_u16, qgc)
+        formats.write_gc_curve(out_prefix + ".txt", mean, count, var)
+        stats["mean_depth"] = mean_depth
+        if verbose:
+            print("Mean sequencing depth: %.2f" % mean_depth)
+    return stats
+
+
+def _companion(qm_path: str, ext: str) -> str:
+    """The reference derives companions from the FASTA path (ref.fa.qgc);
+    our .qm paths are ref.fa.qm, so strip the .qm suffix first."""
+    base = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
+    return base + ext

@@ -1,0 +1,286 @@
+"""search — build the unique-k-mer dictionary from a reference genome.
+
+Reference: main_search (QuicKmer.c:1088-1304). Three stages there:
+pass-1 lock-free hash tabulation, threaded edit-distance filter,
+delete/compact, then a pass-2 genome rescan emitting chain/GC/windows.
+
+TPU-native architecture (idiomatic, not a translation):
+  1. tabulate   — bulk canonical k-mer extraction (vectorized codec) +
+                  sort-based distinct counting (np.unique), saturated at
+                  255 like the reference's u8 occr (QuicKmer.c:888).
+  2. filter     — batched neighbor-occurrence sums on device
+                  (ops.editdist.neighbor_occr_sum); a k-mer survives iff
+                  occr == 1 and sum < d (QuicKmer.c:1218-1231). Optional
+                  quirk-compat mode emulates the reference's mod-32
+                  shift UB (SURVEY.md Q2) for bit-identical survivor
+                  sets.
+  3. emit       — one genome-order pass: membership lookups against the
+                  pass-1 table, GC bins (ops.gc), control flags, window
+                  rows; dictionary placement by insertion in genome
+                  order (Dictionary.from_kmers_in_order). Slot layout
+                  may differ from a reference-built .qm (whose placement
+                  embeds its insert/resize/compact history) but every
+                  chain-ordered artifact (.bed/.qgc, downstream .bin/CN)
+                  is identical.
+
+Hash sizing parity: the reference grows x2 whenever distinct > 0.8*H
+(QuicKmer.c:891-895) and never shrinks, so H_final is the minimal
+doubling of the initial size with distinct <= 0.8*H (SURVEY.md Q12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quickmer2_tpu.config import SearchConfig
+from quickmer2_tpu.dictionary import Dictionary
+from quickmer2_tpu.io import fasta as fasta_io
+from quickmer2_tpu.io import formats
+from quickmer2_tpu.ops import codec, gc
+from quickmer2_tpu.utils import native
+
+
+def _genome_kmers(chroms: list[tuple[str, bytes]], k: int):
+    """Per-chromosome canonical codes per position (host u64) with
+    validity; k-mer code 0 excluded (QuicKmer.c:864 `if (kmer && ...)`)."""
+    out = []
+    for name, seq in chroms:
+        codes = codec.encode_bases(np.frombuffer(seq, dtype=np.uint8))
+        canon, valid = codec.sliding_kmers_np(codes, k)
+        valid = valid & (canon != 0)
+        out.append((name, seq, canon, valid))
+    return out
+
+
+def _final_hash_size(h0: int, distinct: int) -> int:
+    h = h0
+    while distinct > 0.8 * h:
+        h <<= 1
+    return h
+
+
+def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None,
+               use_device_filter: bool = True, filter_batch: int = 4096,
+               verbose: bool = True) -> Dictionary:
+    """Full search phase. Writes <out>.qm, <out>.bed and, when a control
+    bed is configured, <out>.qgc (out defaults to the FASTA path, like
+    the reference which names outputs ref.fa.qm etc.)."""
+    out_prefix = out_prefix or fasta_path
+    k = cfg.kmer_size
+    chroms = list(fasta_io.iter_fasta(fasta_path))
+    per_chrom = _genome_kmers(chroms, k)
+
+    # -- stage 1: tabulate --------------------------------------------
+    all_kmers = np.concatenate([c[2][c[3]] for c in per_chrom])
+    uniq, counts = np.unique(all_kmers, return_counts=True)
+    occr_vals = np.minimum(counts, 255).astype(np.uint8)
+    hash_size = _final_hash_size(cfg.hash_size, len(uniq))
+    if verbose:
+        print(f"search: {len(all_kmers)} k-mer positions, {len(uniq)} distinct, "
+              f"hash_size {hash_size:#x}")
+
+    # pass-1 table with occurrence counts (needed by the filter and for
+    # pass-2 membership tests)
+    table = np.zeros(hash_size, dtype=np.uint64)
+    if native.available():
+        slots = native.insert_keys(table, uniq, return_slots=True)
+    else:
+        from quickmer2_tpu.ops import hash as qhash
+        slots = qhash.probe_insert_np(table, uniq, hash_size)
+    occr = np.zeros(hash_size, dtype=np.uint8)
+    occr[slots] = occr_vals
+
+    # -- stage 2: edit-distance filter --------------------------------
+    keep_uniq = occr_vals == 1
+    if cfg.edit_distance > 0:
+        unique_kmers = uniq[keep_uniq]
+        if cfg.quirk_mod32_editdist:
+            if k != 30:
+                raise ValueError("quirk-compat edit filter is defined for k=30 only")
+            from quickmer2_tpu.ops.editdist import neighbor_occr_sum_quirk_np
+            sums = neighbor_occr_sum_quirk_np(unique_kmers, table, occr,
+                                              hash_size, k, cfg.edit_distance)
+        elif use_device_filter:
+            sums = _device_filter(unique_kmers, table, occr, hash_size, k,
+                                  cfg.edit_distance, filter_batch)
+        else:
+            sums = _host_filter(unique_kmers, table, occr, hash_size, k,
+                                cfg.edit_distance)
+        survive = sums < cfg.edit_depth_threshold
+        kill = np.zeros(len(uniq), dtype=bool)
+        kill[np.flatnonzero(keep_uniq)[~survive]] = True
+        keep_uniq = keep_uniq & ~kill
+        if verbose:
+            print(f"search: edit filter removed {int((~survive).sum())} "
+                  f"of {len(unique_kmers)} unique k-mers")
+
+    keep_flag = np.zeros(hash_size, dtype=bool)
+    keep_flag[np.asarray(slots)[keep_uniq]] = True
+
+    # -- stage 3: genome-order emission -------------------------------
+    ctrl_rows = _read_ctrl(cfg.control_bed) if cfg.control_bed else None
+    ordered_kmers = []
+    window_rows = []
+    qgc_parts = []
+    count = 0          # global hit counter (cumulative across chromosomes)
+    for name, seq, canon, valid in per_chrom:
+        if native.available():
+            pos_slots, found = native.lookup_keys(table, canon)
+        else:
+            from quickmer2_tpu.ops import hash as qhash
+            pos_slots, found = qhash.probe_lookup_np(table, canon, hash_size)
+        hit = valid & found & keep_flag[pos_slots]
+        # k-mer END positions (the reference indexes by the last base,
+        # QuicKmer.c:987-1021: chr_pos when charge_size == k)
+        p_end = np.flatnonzero(hit) + (k - 1)
+        ordered_kmers.append(canon[hit])
+
+        if ctrl_rows is not None:
+            bins = gc.gc_bins_np(np.frombuffer(seq, np.uint8), k, cfg.gc_window_bp)
+            entry = bins[p_end].astype(np.uint16)
+            entry |= _ctrl_flags(ctrl_rows, name, p_end, k)
+            qgc_parts.append(entry)
+
+        # window rows: emitted when the global 1-based hit count is a
+        # multiple of wsize (QuicKmer.c:1054-1059); win_start/wstart
+        # reset at each chromosome start (QuicKmer.c:948-955)
+        w = cfg.window_size
+        n_hits = len(p_end)
+        local_counts = count + 1 + np.arange(n_hits)
+        emit = np.flatnonzero(local_counts % w == 0)
+        win_start_bp, wstart = 0, count
+        for i in emit:
+            window_rows.append((name, win_start_bp, int(p_end[i]),
+                                wstart, int(local_counts[i])))
+            win_start_bp, wstart = int(p_end[i]), int(local_counts[i])
+        count += n_hits
+
+    ordered = np.concatenate(ordered_kmers) if ordered_kmers else np.zeros(0, np.uint64)
+    if verbose:
+        print(f"search: total output {count} k-mers")
+
+    dictionary = Dictionary.from_kmers_in_order(
+        ordered, hash_size, k, cfg.edit_distance, cfg.edit_depth_threshold)
+    dictionary.to_qm(out_prefix + ".qm")
+    formats.write_windows_bed(out_prefix + ".bed", window_rows)
+    if qgc_parts:
+        formats.write_u16(out_prefix + ".qgc", np.concatenate(qgc_parts))
+    return dictionary
+
+
+def _device_filter(unique_kmers, table, occr, hash_size, k, edit_distance,
+                   batch: int):
+    import jax.numpy as jnp
+    from quickmer2_tpu.ops.editdist import edit_table, neighbor_occr_sum
+
+    rc = np.zeros_like(unique_kmers)
+    tmp = unique_kmers.copy()
+    for _ in range(k):
+        rc = (rc << np.uint64(2)) | ((tmp - np.uint64(2)) & np.uint64(3))
+        tmp >>= np.uint64(2)
+    rc &= np.uint64((1 << (2 * k)) - 1)
+
+    thi, tlo = codec.split_u64(table)
+    thi, tlo = jnp.asarray(thi), jnp.asarray(tlo)
+    occr_d = jnp.asarray(occr)
+    p1, d1, p2, d2 = (jnp.asarray(a) for a in edit_table(k, edit_distance))
+
+    n = len(unique_kmers)
+    sums = np.empty(n, dtype=np.uint32)
+    for off in range(0, n, batch):
+        sl = slice(off, min(off + batch, n))
+        kh, kl = codec.split_u64(unique_kmers[sl])
+        rh, rl = codec.split_u64(rc[sl])
+        pad = batch - (sl.stop - sl.start)
+        if pad:
+            kh, kl, rh, rl = (np.pad(a, (0, pad)) for a in (kh, kl, rh, rl))
+        out = neighbor_occr_sum(
+            jnp.asarray(kh), jnp.asarray(kl), jnp.asarray(rh), jnp.asarray(rl),
+            thi, tlo, occr_d, p1, d1, p2, d2, k=k, hash_size=hash_size)
+        sums[sl] = np.asarray(out)[: sl.stop - sl.start]
+    return sums
+
+
+def _host_filter(unique_kmers, table, occr, hash_size, k, edit_distance):
+    """Correct-math host fallback (numpy, batched over the edit table)."""
+    from quickmer2_tpu.ops import hash as qhash
+
+    mask = np.uint64((1 << (2 * k)) - 1)
+    rc = np.zeros_like(unique_kmers)
+    tmp = unique_kmers.copy()
+    for _ in range(k):
+        rc = (rc << np.uint64(2)) | ((tmp - np.uint64(2)) & np.uint64(3))
+        tmp >>= np.uint64(2)
+    rc &= mask
+
+    total = np.zeros(len(unique_kmers), dtype=np.uint64)
+
+    def add(f, r):
+        canon = np.minimum(f, r)
+        slots, found = qhash.probe_lookup_np(table, canon, hash_size)
+        total[:] = total + np.where(found, occr[slots].astype(np.uint64), np.uint64(0))
+
+    def mutate(f, r, pos, delta):
+        base = (f >> np.uint64(2 * pos)) & np.uint64(3)
+        nb = (base + np.uint64(delta)) & np.uint64(3)
+        x = base ^ nb
+        f = f ^ (x << np.uint64(2 * pos))
+        r = r ^ (x << np.uint64(2 * (k - 1 - pos)))
+        return f, r
+
+    for p1 in range(k):
+        for v1 in (1, 2, 3):
+            f1, r1 = mutate(unique_kmers, rc, p1, v1)
+            add(f1, r1)
+            if edit_distance >= 2:
+                for p2 in range(p1):
+                    for v2 in (1, 2, 3):
+                        f2, r2 = mutate(f1, r1, p2, v2)
+                        add(f2, r2)
+    return total
+
+
+def _read_ctrl(path: str):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            p = line.split()
+            if len(p) >= 3:
+                rows.append((p[0], int(p[1]), int(p[2])))
+    return rows
+
+
+def _ctrl_flags(rows, chrom: str, p_end: np.ndarray, k: int) -> np.ndarray:
+    """Control-region flags, emulating dump_kmer_list's stateful forward
+    scan (QuicKmer.c:1029-1040): use the maximal run of rows for this
+    chromosome starting at its first occurrence in file order; for a hit
+    at end position p, the active region is the first with e >= p; flag
+    iff kmer start (p+1-k) is strictly greater than its s (quirk Q7).
+
+    Two verified stateful quirks: (a) the flag condition never rechecks
+    p <= e, and (b) when the advance loop hits EOF (the chromosome's run
+    is last in the file) the "absent" flag is NOT set — fscanf fails and
+    leaves the last region's s/e in place — so every later k-mer of the
+    chromosome with start > s_last stays flagged. "Absent" only engages
+    when a different chromosome's row follows the run."""
+    flags = np.zeros(len(p_end), dtype=np.uint16)
+    j0 = next((i for i, r in enumerate(rows) if r[0] == chrom), None)
+    if j0 is None:
+        return flags
+    run_e, run_s = [], []
+    for r in rows[j0:]:
+        if r[0] != chrom:
+            break
+        run_s.append(r[1])
+        run_e.append(r[2])
+    followed_by_other = (j0 + len(run_s)) < len(rows)
+    e_arr = np.array(run_e, dtype=np.int64)
+    s_arr = np.array(run_s, dtype=np.int64)
+    j = np.searchsorted(e_arr, p_end, side="left")
+    past_end = j >= len(e_arr)
+    jc = np.minimum(j, len(e_arr) - 1)
+    flag = (p_end + 1 - k) > s_arr[jc]
+    if followed_by_other:
+        flag &= ~past_end
+    flags[flag] = formats.CTRL_FLAG
+    return flags
