@@ -92,6 +92,40 @@ void qm2_count_occr(const uint64_t *table, uint64_t hsize,
     }
 }
 
+/* Sequential thinning for `sparse`: keep[i]=1 iff bp[i] - last_kept >=
+ * thin (parity: QuicKmer.c:1419-1432 — drop when the gap is < thin;
+ * last_kept starts at 0 per chromosome, so leading k-mers with
+ * bp < thin are dropped). bp values are per-chromosome non-N base
+ * counters in ascending order. */
+void qm2_thin_hits(const uint32_t *bp, int64_t n, uint32_t thin,
+                   uint8_t *keep) {
+    uint32_t last = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (bp[i] - last < thin) {
+            keep[i] = 0;
+        } else {
+            keep[i] = 1;
+            last = bp[i];
+        }
+    }
+}
+
+/* Insert allowing duplicates: always scan to the first empty slot, even
+ * past an existing copy of the key (parity: index mode, QuicKmer.c:
+ * 208-213 — duplicate bed rows occupy multiple slots). */
+void qm2_insert_keys_dup(uint64_t *table, uint64_t hsize,
+                         const uint64_t *keys, int64_t n,
+                         int64_t *slots_out) {
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t idx = djb2_u64(keys[i]) & (hsize - 1);
+        int64_t step = (idx & (hsize >> 1)) ? -1 : 1;
+        while (table[idx])
+            idx += step;
+        table[idx] = keys[i];
+        if (slots_out) slots_out[i] = (int64_t)idx;
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* Streaming FASTA/FASTQ → 2-bit code stream packer.
  *

@@ -155,16 +155,23 @@ def quirk_permute_np(fwd: np.ndarray, rc: np.ndarray, pos: int, delta: int, k: i
     fwd/rc: u64 arrays (rc in the reference's 60-bit-register layout,
     identical to the exact rc at k=30). Returns mutated (fwd, rc).
     """
-    mask = np.uint64((1 << (2 * k)) - 1)
-    base = (fwd >> np.uint64(2 * pos)) & np.uint64(3)          # 64-bit shift: correct in ref
+    U64 = (1 << 64) - 1
+    kmask = (1 << (2 * k)) - 1
+
+    def clear_mask(bitpos: int) -> np.uint64:
+        # int32 `3 << bitpos`: hardware masks the count mod 32; the int
+        # result sign-extends to 64 bits; then Kmer_mask MINUS it (a
+        # wrapping subtract, not an and-not) forms the "clear" mask.
+        v32 = (3 << (bitpos & 31)) & 0xFFFFFFFF
+        v = v32 - (1 << 32) if v32 & 0x80000000 else v32
+        return np.uint64((kmask - v) & U64)
+
+    base = (fwd >> np.uint64(2 * pos)) & np.uint64(3)  # 64-bit shift: correct in ref
     nb = (base + np.uint64(delta)) & np.uint64(3)
-    # clear mask: int32 `3 << (2*pos)` with count mod 32, sign-extended
-    bad = np.int64(np.int32(np.uint32(3) << np.uint32((2 * pos) & 31))).astype(np.uint64)
-    fwd = (fwd & (mask - bad)) | (nb << np.uint64(2 * pos))     # wrapping subtract
+    fwd = (fwd & clear_mask(2 * pos)) | (nb << np.uint64(2 * pos))
     rb = (nb - np.uint64(2)) & np.uint64(3)
     rpos = 2 * (k - 1 - pos)
-    rbad = np.int64(np.int32(np.uint32(3) << np.uint32(rpos & 31))).astype(np.uint64)
-    rc = (rc & (mask - rbad)) | (rb << np.uint64(rpos))
+    rc = (rc & clear_mask(rpos)) | (rb << np.uint64(rpos))
     return fwd, rc
 
 

@@ -35,8 +35,8 @@ import numpy as np
 from quickmer2_tpu.config import SearchConfig
 from quickmer2_tpu.dictionary import Dictionary
 from quickmer2_tpu.io import fasta as fasta_io
-from quickmer2_tpu.io import formats
-from quickmer2_tpu.ops import codec, gc
+from quickmer2_tpu.ops import codec
+from quickmer2_tpu.pipelines import emit as emit_mod
 from quickmer2_tpu.utils import native
 
 
@@ -118,53 +118,27 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
     keep_flag[np.asarray(slots)[keep_uniq]] = True
 
     # -- stage 3: genome-order emission -------------------------------
-    ctrl_rows = _read_ctrl(cfg.control_bed) if cfg.control_bed else None
-    ordered_kmers = []
-    window_rows = []
-    qgc_parts = []
-    count = 0          # global hit counter (cumulative across chromosomes)
+    ctrl_rows = emit_mod.read_ctrl(cfg.control_bed) if cfg.control_bed else None
+    emitter = emit_mod.GenomeOrderEmitter(k, cfg.window_size, ctrl_rows,
+                                          cfg.gc_window_bp)
     for name, seq, canon, valid in per_chrom:
         if native.available():
             pos_slots, found = native.lookup_keys(table, canon)
         else:
             from quickmer2_tpu.ops import hash as qhash
             pos_slots, found = qhash.probe_lookup_np(table, canon, hash_size)
+        # k-mer END positions are the reference's index (QuicKmer.c:987-1021)
         hit = valid & found & keep_flag[pos_slots]
-        # k-mer END positions (the reference indexes by the last base,
-        # QuicKmer.c:987-1021: chr_pos when charge_size == k)
-        p_end = np.flatnonzero(hit) + (k - 1)
-        ordered_kmers.append(canon[hit])
+        emitter.add_chrom(name, seq, canon, hit)
 
-        if ctrl_rows is not None:
-            bins = gc.gc_bins_np(np.frombuffer(seq, np.uint8), k, cfg.gc_window_bp)
-            entry = bins[p_end].astype(np.uint16)
-            entry |= _ctrl_flags(ctrl_rows, name, p_end, k)
-            qgc_parts.append(entry)
-
-        # window rows: emitted when the global 1-based hit count is a
-        # multiple of wsize (QuicKmer.c:1054-1059); win_start/wstart
-        # reset at each chromosome start (QuicKmer.c:948-955)
-        w = cfg.window_size
-        n_hits = len(p_end)
-        local_counts = count + 1 + np.arange(n_hits)
-        emit = np.flatnonzero(local_counts % w == 0)
-        win_start_bp, wstart = 0, count
-        for i in emit:
-            window_rows.append((name, win_start_bp, int(p_end[i]),
-                                wstart, int(local_counts[i])))
-            win_start_bp, wstart = int(p_end[i]), int(local_counts[i])
-        count += n_hits
-
-    ordered = np.concatenate(ordered_kmers) if ordered_kmers else np.zeros(0, np.uint64)
     if verbose:
-        print(f"search: total output {count} k-mers")
+        print(f"search: total output {emitter.count} k-mers")
 
     dictionary = Dictionary.from_kmers_in_order(
-        ordered, hash_size, k, cfg.edit_distance, cfg.edit_depth_threshold)
+        emitter.ordered(), hash_size, k, cfg.edit_distance,
+        cfg.edit_depth_threshold)
     dictionary.to_qm(out_prefix + ".qm")
-    formats.write_windows_bed(out_prefix + ".bed", window_rows)
-    if qgc_parts:
-        formats.write_u16(out_prefix + ".qgc", np.concatenate(qgc_parts))
+    emitter.write(out_prefix)
     return dictionary
 
 
@@ -238,49 +212,3 @@ def _host_filter(unique_kmers, table, occr, hash_size, k, edit_distance):
                         f2, r2 = mutate(f1, r1, p2, v2)
                         add(f2, r2)
     return total
-
-
-def _read_ctrl(path: str):
-    rows = []
-    with open(path) as f:
-        for line in f:
-            p = line.split()
-            if len(p) >= 3:
-                rows.append((p[0], int(p[1]), int(p[2])))
-    return rows
-
-
-def _ctrl_flags(rows, chrom: str, p_end: np.ndarray, k: int) -> np.ndarray:
-    """Control-region flags, emulating dump_kmer_list's stateful forward
-    scan (QuicKmer.c:1029-1040): use the maximal run of rows for this
-    chromosome starting at its first occurrence in file order; for a hit
-    at end position p, the active region is the first with e >= p; flag
-    iff kmer start (p+1-k) is strictly greater than its s (quirk Q7).
-
-    Two verified stateful quirks: (a) the flag condition never rechecks
-    p <= e, and (b) when the advance loop hits EOF (the chromosome's run
-    is last in the file) the "absent" flag is NOT set — fscanf fails and
-    leaves the last region's s/e in place — so every later k-mer of the
-    chromosome with start > s_last stays flagged. "Absent" only engages
-    when a different chromosome's row follows the run."""
-    flags = np.zeros(len(p_end), dtype=np.uint16)
-    j0 = next((i for i, r in enumerate(rows) if r[0] == chrom), None)
-    if j0 is None:
-        return flags
-    run_e, run_s = [], []
-    for r in rows[j0:]:
-        if r[0] != chrom:
-            break
-        run_s.append(r[1])
-        run_e.append(r[2])
-    followed_by_other = (j0 + len(run_s)) < len(rows)
-    e_arr = np.array(run_e, dtype=np.int64)
-    s_arr = np.array(run_s, dtype=np.int64)
-    j = np.searchsorted(e_arr, p_end, side="left")
-    past_end = j >= len(e_arr)
-    jc = np.minimum(j, len(e_arr) - 1)
-    flag = (p_end + 1 - k) > s_arr[jc]
-    if followed_by_other:
-        flag &= ~past_end
-    flags[flag] = formats.CTRL_FLAG
-    return flags

@@ -116,6 +116,27 @@ def count_occr(table: np.ndarray, keys: np.ndarray, occr: np.ndarray) -> None:
                        _u64p(keys), ctypes.c_int64(len(keys)), _u8p(occr))
 
 
+def thin_hits(bp: np.ndarray, thin: int) -> np.ndarray:
+    lib = get_lib()
+    bp = np.ascontiguousarray(bp, dtype=np.uint32)
+    keep = np.empty(len(bp), dtype=np.uint8)
+    lib.qm2_thin_hits(_u32p(bp), ctypes.c_int64(len(bp)),
+                      ctypes.c_uint32(thin), _u8p(keep))
+    return keep.astype(bool)
+
+
+def insert_keys_dup(table: np.ndarray, keys: np.ndarray,
+                    return_slots: bool = False):
+    lib = get_lib()
+    assert table.dtype == np.uint64 and table.flags.c_contiguous
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    slots = np.empty(len(keys), dtype=np.int64) if return_slots else None
+    lib.qm2_insert_keys_dup(_u64p(table), ctypes.c_uint64(len(table)),
+                            _u64p(keys), ctypes.c_int64(len(keys)),
+                            _i64p(slots) if return_slots else None)
+    return slots
+
+
 class StreamPacker:
     """Streaming FASTA/FASTQ → 2-bit code stream (separator = 4).
 
