@@ -37,11 +37,10 @@ from quickmer2_tpu.ops.hash import djb_pair
 from quickmer2_tpu.utils import native
 
 
-@functools.partial(jax.jit, static_argnames=("k", "hash_size", "max_steps"),
-                   donate_argnums=(4,))
-def count_step(codes, table_hi, table_lo, rank, depth, *, k: int,
-               hash_size: int, max_steps: int = 4096):
-    """One device batch: codes u8[B] → updated depth u32[n_kmers+1]."""
+def count_kernel(codes, table_hi, table_lo, rank, depth, *, k: int,
+                 hash_size: int, max_steps: int = 4096):
+    """Jit-composable body of one count batch: codes u8[B] → updated
+    depth u32[n_kmers+1]."""
     chi, clo, valid = codec.sliding_kmers(codes, k)
     idx0 = djb_pair(chi, clo) & jnp.uint32(hash_size - 1)
     step = jnp.where(idx0 & jnp.uint32(hash_size >> 1), -1, 1).astype(jnp.int32)
@@ -71,6 +70,11 @@ def count_step(codes, table_hi, table_lo, rank, depth, *, k: int,
     trash = depth.shape[0] - 1
     r = jnp.where(valid, rank[idx], trash)   # rank map sends empty slots to trash
     return depth.at[r].add(1, mode="promise_in_bounds")
+
+
+count_step = jax.jit(count_kernel,
+                     static_argnames=("k", "hash_size", "max_steps"),
+                     donate_argnums=(4,))
 
 
 class PyPacker:
@@ -197,14 +201,21 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
     t0 = time.time()
     dictionary = Dictionary.from_qm(qm_path)
     counter = DepthCounter(dictionary, batch_bases=batch_bases)
-    fmt = fmt or detect_format(sample_path)
-    packer = make_packer(fmt)
-    with open(sample_path, "rb") as f:
-        while True:
-            data = f.read(chunk_bytes)
-            if not data:
-                break
+    import sys
+    stream = sys.stdin.buffer if sample_path == "-" else open(sample_path, "rb")
+    try:
+        first = stream.read(chunk_bytes)
+        # FASTQ autodetected by a leading '@' (QuicKmer.c:393); works for
+        # pipes too since we already hold the first chunk
+        fmt = fmt or ("fastq" if first[:1] == b"@" else "fasta-lines")
+        packer = make_packer(fmt)
+        data = first
+        while data:
             counter.feed_codes(packer.feed(data))
+            data = stream.read(chunk_bytes)
+    finally:
+        if sample_path != "-":
+            stream.close()
     depth = counter.finish()
     depth_u16 = (depth & 0xFFFF).astype(np.uint16)   # Q8 wrap parity
     formats.write_u16(out_prefix + ".bin", depth_u16)

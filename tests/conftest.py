@@ -7,10 +7,17 @@ the multi-chip path via __graft_entry__.dryrun_multichip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin in this image overrides JAX_PLATFORMS from the
+# environment; jax.config is authoritative, so force CPU through it
+# before any backend initialization.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import subprocess
 
