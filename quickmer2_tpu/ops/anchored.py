@@ -1,0 +1,455 @@
+"""Anchored range-add counting — the flagship fast path of the count
+phase.
+
+Insight: reads are contiguous substrings of the genome, and the
+dictionary is stored in genome order (rank == genome order). On TPU,
+random-access ops cost ~10ns each regardless of width (measured), so
+the per-k-mer probe+scatter design pays ~3 random ops per k-mer. This
+path instead pays O(1) random ops per READ:
+
+  1. ANCHOR — probe a few k-mers of the read against the packed table
+     (ops.packed_table rows carry each entry's genome end position);
+  2. ALIGN+VERIFY — fetch the genome window implied by the anchor (row
+     gathers over a (G/64, 64) tiling + log-shift alignment) for both
+     strands, and compare bases;
+  3. CLEAN RUNS — maximal runs of k-mers whose whole window matches the
+     genome become range-adds on the rank axis: rank boundaries come
+     from a sampled prefix-count structure (one row gather per
+     boundary), and each run costs two scatter-adds into a difference
+     array (depth = cumsum at finalize);
+  4. DIRTY k-mers (windows touching a mismatch, up to a static cap per
+     read) are individually probed — byte-identical semantics to the
+     per-k-mer path;
+  5. reads that exceed the caps (no anchor, too many runs/dirty k-mers)
+     SPILL to the exact per-k-mer path.
+
+Correctness does not depend on anchoring quality: any k-mer classified
+clean provably equals the genome k-mer at its aligned position, whose
+dictionary membership/rank is exactly what the prefix-count structure
+encodes; everything else goes through the exact probe. Misanchoring
+only moves k-mers from the fast path to the exact path. Differential
+tests (tests/test_anchored.py) assert bit-identical depth vectors
+against the direct path on adversarial inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quickmer2_tpu.ops import codec
+from quickmer2_tpu.ops.packed_table import PackedTable, probe_packed
+
+GBLK = 64          # genome tile width (bases) for row gathers
+DBLK = 64          # prefix-count block size (positions per block)
+
+
+@dataclasses.dataclass
+class AnchoredIndex:
+    """Device-side structures for anchored counting."""
+    rows: jax.Array          # packed table rows (B, 16) incl. positions
+    n_buckets: int
+    genome_tiles: jax.Array  # u8[G/GBLK, GBLK] padded genome codes
+    genome_len: int
+    dblock: jax.Array        # u32[G/DBLK, 4]: [rank_base, mask_hi, mask_lo, 0]
+    n_kmers: int
+
+    @classmethod
+    def build(cls, genome_codes: np.ndarray, dict_end_pos: np.ndarray,
+              kmers_in_order: np.ndarray, k: int) -> "AnchoredIndex":
+        """genome_codes: u8[G] concatenated code stream (with SEP between
+        chromosomes); dict_end_pos: u32[n] global end position of each
+        dictionary k-mer in rank order; kmers_in_order: u64[n]."""
+        G = len(genome_codes)
+        n = len(dict_end_pos)
+        khi, klo = codec.split_u64(kmers_in_order)
+        rank = np.arange(n, dtype=np.uint32)
+        table = PackedTable.build(khi, klo, rank,
+                                  pos=np.asarray(dict_end_pos, np.uint32))
+
+        ng = -(-G // GBLK)
+        tiles = np.full(ng * GBLK, codec.SEP, np.uint8)
+        tiles[:G] = genome_codes
+        tiles = tiles.reshape(ng, GBLK)
+
+        nb = -(-G // DBLK) + 1
+        dblock = np.zeros((nb, 4), np.uint32)
+        # bitmask of dictionary end positions per block + prefix counts
+        blk = dict_end_pos // DBLK
+        bit = dict_end_pos % DBLK
+        hi_mask = np.zeros(nb, np.uint64)
+        lo_mask = np.zeros(nb, np.uint64)
+        sel_hi = bit >= 32
+        np.bitwise_or.at(hi_mask, blk[sel_hi],
+                         np.uint64(1) << (bit[sel_hi] - 32).astype(np.uint64))
+        np.bitwise_or.at(lo_mask, blk[~sel_hi],
+                         np.uint64(1) << bit[~sel_hi].astype(np.uint64))
+        counts = np.bincount(blk, minlength=nb)
+        rank_base = np.concatenate([[0], np.cumsum(counts[:-1])]).astype(np.uint32)
+        dblock[:, 0] = rank_base
+        dblock[:, 1] = hi_mask.astype(np.uint32)
+        dblock[:, 2] = lo_mask.astype(np.uint32)
+        return cls(jnp.asarray(table.rows), table.n_buckets,
+                   jnp.asarray(tiles), G, jnp.asarray(dblock), n)
+
+    @classmethod
+    def from_dictionary_and_fasta(cls, dic, fasta_path: str) -> "AnchoredIndex":
+        """Recover genome stream + per-rank positions by scanning the
+        reference FASTA against an (imported or built) Dictionary."""
+        stream, dict_pos = _genome_stream_and_positions(dic, fasta_path)
+        return cls.build(stream, dict_pos, dic.kmers_in_order, dic.kmer_size)
+
+
+def _genome_stream_and_positions(dic, fasta_path: str):
+    """Concatenated genome code stream (one SEP between chromosomes) and
+    the global END position of every dictionary k-mer in rank order."""
+    from quickmer2_tpu.io import fasta as fasta_io
+    from quickmer2_tpu.utils import native
+
+    k = dic.kmer_size
+    parts = []
+    pos_parts = []
+    offset = 0
+    table = np.ascontiguousarray(dic.table)
+    rank = dic.rank
+    n = dic.n_kmers
+    for name, seq in fasta_io.iter_fasta(fasta_path):
+        codes = codec.encode_bases(np.frombuffer(seq, dtype=np.uint8))
+        canon, valid = codec.sliding_kmers_np(codes, k)
+        valid = valid & (canon != 0)
+        if native.available():
+            slots, found = native.lookup_keys(table, canon)
+        else:
+            from quickmer2_tpu.ops import hash as qhash
+            slots, found = qhash.probe_lookup_np(table, canon, dic.hash_size)
+        hit = valid & found & (rank[slots] < n)
+        p_end = np.flatnonzero(hit) + (k - 1) + offset
+        pos_parts.append(p_end.astype(np.uint32))
+        parts.append(codes)
+        parts.append(np.array([codec.SEP], np.uint8))
+        offset += len(codes) + 1
+    stream = np.concatenate(parts)[:-1] if parts else np.zeros(0, np.uint8)
+    dict_pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.uint32)
+    if len(dict_pos) != n:
+        raise ValueError(
+            f"genome scan found {len(dict_pos)} dictionary k-mers, "
+            f"dictionary has {n} — wrong FASTA for this .qm?")
+    return stream, dict_pos
+
+
+def _popcount32(x):
+    return jax.lax.population_count(x)
+
+
+def rank_at(dblock, q):
+    """R(q) = number of dictionary end positions <= q (q: i32 global
+    position, clamped to valid range by caller). One row gather."""
+    blk = (q // DBLK).astype(jnp.int32)
+    bit = (q % DBLK).astype(jnp.uint32)
+    row = dblock[blk]
+    base = row[..., 0]
+    hi, lo = row[..., 1], row[..., 2]
+    # count bits at positions <= bit within the block
+    in_hi = bit >= 32
+    lo_keep = jnp.where(
+        in_hi, jnp.uint32(0xFFFFFFFF),
+        jnp.uint32(0xFFFFFFFF) >> (31 - jnp.minimum(bit, 31)))
+    hi_keep = jnp.where(
+        in_hi, jnp.uint32(0xFFFFFFFF) >> (63 - jnp.maximum(bit, 32)),
+        jnp.uint32(0))
+    return base + _popcount32(lo & lo_keep).astype(jnp.uint32) \
+        + _popcount32(hi & hi_keep).astype(jnp.uint32)
+
+
+def fetch_genome_window(genome_tiles, start, width: int):
+    """Gather genome codes [start, start+width) per lane via tile row
+    gathers + log-shift alignment. start: i32[N] (may be negative or
+    out of range — such lanes return SEP-ish garbage the caller masks).
+    Returns u8[N, width]."""
+    ntiles = genome_tiles.shape[0]
+    n_rows = width // GBLK + 2
+    t0 = jnp.clip(start // GBLK, 0, ntiles - 1)
+    rows = []
+    for r in range(n_rows):
+        rows.append(genome_tiles[jnp.clip(t0 + r, 0, ntiles - 1)])
+    buf = jnp.concatenate(rows, axis=1)          # (N, n_rows*GBLK)
+    off = (start - t0 * GBLK).astype(jnp.int32)  # 0..GBLK-1 (or clamp spill)
+    off = jnp.clip(off, 0, GBLK)
+    # log-shift: roll left by off using static shifts
+    shift = off
+    for b in (32, 16, 8, 4, 2, 1):
+        rolled = jnp.roll(buf, -b, axis=1)
+        buf = jnp.where((shift & b)[:, None] != 0, rolled, buf)
+    return buf[:, :width]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "read_len", "n_buckets",
+                                    "anchor_offsets", "max_runs", "max_dirty"))
+def anchored_count_batch(reads, rows, genome_tiles, dblock, diff, spill_mask,
+                         *, k: int, read_len: int, n_buckets: int,
+                         anchor_offsets: tuple = (0, 30, 60, 91),
+                         max_runs: int = 4, max_dirty: int = 8):
+    """Process one batch of fixed-length reads.
+
+    reads: u8[R, read_len] code rows (SEP-padded). diff: u32[n_kmers+2]
+    difference-array accumulator (depth = cumsum(diff)[:n] at the end,
+    computed in finalize together with the dirty/spill contributions).
+    Returns (diff, spill_mask) — spill_mask marks reads that must be
+    recounted by the exact per-k-mer path (their contributions are NOT
+    in diff).
+    """
+    R, L = reads.shape
+    W = L - k + 1
+    n_diff = diff.shape[0]
+    trash = n_diff - 1
+
+    # --- per-read k-mer codes ---------------------------------------
+    flat = reads.reshape(-1)
+    # compute sliding k-mers per read row: operate on the flat stream,
+    # then mask windows crossing row boundaries via per-row validity
+    chi_f, clo_f, valid_f = codec.sliding_kmers(flat, k)
+    nwin_flat = chi_f.shape[0]
+    pad = R * L - nwin_flat
+    chi = jnp.pad(chi_f, (0, pad)).reshape(R, L)[:, :W]
+    clo = jnp.pad(clo_f, (0, pad)).reshape(R, L)[:, :W]
+    valid = jnp.pad(valid_f, (0, pad)).reshape(R, L)[:, :W]
+
+    # --- anchoring ----------------------------------------------------
+    a_found = jnp.zeros(R, bool)
+    a_pos = jnp.zeros(R, jnp.int32)
+    a_off = jnp.zeros(R, jnp.int32)
+    for j in anchor_offsets:
+        f, _, p = probe_packed(rows, chi[:, j], clo[:, j], n_buckets,
+                               jnp.uint32(0))
+        f = f & valid[:, j]
+        take = f & ~a_found
+        a_pos = jnp.where(take, p.astype(jnp.int32), a_pos)
+        a_off = jnp.where(take, j, a_off)
+        a_found = a_found | f
+
+    # --- genome windows, both strands ---------------------------------
+    G = genome_tiles.shape[0] * GBLK
+    # forward: read t <-> genome[s_f + t], s_f = pos - (k-1) - a_off
+    s_f = a_pos - (k - 1) - a_off
+    fwd_in_range = (s_f >= 0) & (s_f + L <= G)
+    gwin_f = fetch_genome_window(genome_tiles, s_f, L)
+    match_f = (reads == gwin_f) & (reads < 4) & (gwin_f < 4) \
+        & fwd_in_range[:, None]
+    # reverse: read aligns to revcomp of genome [ge-L+1, ge], ge = a_pos
+    # + a_off (anchor kmer read[a_off+m] = comp(genome[a_pos - m]));
+    # read t <-> comp(genome[ge - t])
+    ge = a_pos + a_off
+    rc_in_range = (ge - (L - 1) >= 0) & (ge < G)
+    gwin_r = fetch_genome_window(genome_tiles, ge - (L - 1), L)
+    gflip = jnp.flip(gwin_r, axis=1)
+    gwin_rc = jnp.where(gflip < 4, (gflip - jnp.uint8(2)) & jnp.uint8(3),
+                        jnp.uint8(4))
+    match_r = (reads == gwin_rc) & (reads < 4) & (gwin_rc < 4) \
+        & rc_in_range[:, None]
+
+    use_fwd = jnp.sum(match_f, axis=1) >= jnp.sum(match_r, axis=1)
+    match = jnp.where(use_fwd[:, None], match_f, match_r)
+
+    # --- clean k-mer mask ---------------------------------------------
+    mm = (~match).astype(jnp.int32)
+    cs = jnp.cumsum(mm, axis=1)
+    csz = jnp.pad(cs, ((0, 0), (1, 0)))
+    clean = (csz[:, k:] - csz[:, :-k]) == 0          # (R, W)
+    clean = clean & valid & a_found[:, None]
+
+    # --- clean runs / dirty census ------------------------------------
+    prev = jnp.pad(clean[:, :-1], ((0, 0), (1, 0)))
+    nxt = jnp.pad(clean[:, 1:], ((0, 0), (0, 1)))
+    run_start = clean & ~prev
+    run_end = clean & ~nxt
+    n_runs = jnp.sum(run_start, axis=1)
+    dirty = valid & ~clean
+    n_dirty = jnp.sum(dirty, axis=1)
+
+    # spill decided BEFORE any accumulation so spilled reads contribute
+    # nothing here (the caller reruns them on the exact per-k-mer path)
+    spilled = (~a_found & jnp.any(valid, axis=1)) \
+        | (n_runs > max_runs) | (n_dirty > max_dirty)
+    active = ~spilled
+
+    # --- clean runs → range-adds --------------------------------------
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    start_m = run_start & active[:, None]
+    end_m = run_end & active[:, None]
+    starts = jnp.full((R, max_runs), -1, jnp.int32)
+    ends = jnp.full((R, max_runs), -1, jnp.int32)
+    for m in range(max_runs):
+        s = jnp.min(jnp.where(start_m, jidx, W), axis=1)       # first start
+        e = jnp.min(jnp.where(end_m & (jidx >= s[:, None]), jidx, W), axis=1)
+        got = s < W
+        starts = starts.at[:, m].set(jnp.where(got, s, -1))
+        ends = ends.at[:, m].set(jnp.where(got, e, -1))
+        start_m = start_m & (jidx > s[:, None])
+        end_m = end_m & (jidx > e[:, None])
+
+    # genome end positions of run boundaries:
+    # fwd: k-mer j ends at s_f + j + k - 1
+    # rc:  k-mer j ends at ge - j (descending), so a run [j0, j1] covers
+    #      genome ends [ge - j1, ge - j0]
+    q_start = jnp.where(use_fwd[:, None],
+                        s_f[:, None] + starts + (k - 1),
+                        ge[:, None] - ends)
+    q_end = jnp.where(use_fwd[:, None],
+                      s_f[:, None] + ends + (k - 1),
+                      ge[:, None] - starts)
+    run_ok = starts >= 0
+    lo_r = rank_at(dblock, jnp.clip(q_start - 1, 0, G - 1))
+    lo_r = jnp.where(q_start <= 0, jnp.uint32(0), lo_r)
+    hi_r = rank_at(dblock, jnp.clip(q_end, 0, G - 1))
+    lo_i = jnp.where(run_ok, lo_r.astype(jnp.int32), trash)
+    hi_i = jnp.where(run_ok, hi_r.astype(jnp.int32), trash)
+    diff = diff.at[lo_i.reshape(-1)].add(1, mode="promise_in_bounds")
+    diff = diff.at[hi_i.reshape(-1)].add(
+        jnp.uint32(0) - 1, mode="promise_in_bounds")
+
+    # --- dirty k-mers → exact probes ----------------------------------
+    dm = dirty & active[:, None]
+    d_rank = jnp.full((R, max_dirty), trash, jnp.int32)
+    for m in range(max_dirty):
+        j = jnp.min(jnp.where(dm, jidx, W), axis=1)
+        got = j < W
+        jc = jnp.minimum(j, W - 1)
+        dhi = jnp.take_along_axis(chi, jc[:, None], axis=1)[:, 0]
+        dlo = jnp.take_along_axis(clo, jc[:, None], axis=1)[:, 0]
+        f, r, _ = probe_packed(rows, dhi, dlo, n_buckets, jnp.uint32(trash))
+        d_rank = d_rank.at[:, m].set(
+            jnp.where(got & f, r.astype(jnp.int32), trash))
+        dm = dm & (jidx > j[:, None])
+    # dirty contributions as width-1 range adds: diff[r]+=1, diff[r+1]-=1
+    dr = d_rank.reshape(-1)
+    point = jnp.minimum(dr, trash)
+    diff = diff.at[point].add(1, mode="promise_in_bounds")
+    diff = diff.at[jnp.minimum(point + 1, trash)].add(
+        jnp.uint32(0) - 1, mode="promise_in_bounds")
+
+    return diff, spilled
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
+def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int):
+    """Exact per-k-mer probe over read rows, masked per read — used for
+    spilled reads. Point-adds go through the same diff-array convention
+    as anchored_count_batch (caller cumsums once at the end)."""
+    R, L = reads.shape
+    W = L - k + 1
+    trash = depth.shape[0] - 1
+    flat = reads.reshape(-1)
+    chi_f, clo_f, valid_f = codec.sliding_kmers(flat, k)
+    pad = R * L - chi_f.shape[0]
+    chi = jnp.pad(chi_f, (0, pad)).reshape(R, L)[:, :W].reshape(-1)
+    clo = jnp.pad(clo_f, (0, pad)).reshape(R, L)[:, :W].reshape(-1)
+    valid = jnp.pad(valid_f, (0, pad)).reshape(R, L)[:, :W]
+    valid = (valid & mask[:, None]).reshape(-1)
+    f, r, _ = probe_packed(rows, chi, clo, n_buckets, jnp.uint32(trash))
+    point = jnp.where(valid & f, r.astype(jnp.int32), trash)
+    depth = depth.at[point].add(1, mode="promise_in_bounds")
+    depth = depth.at[jnp.minimum(point + 1, trash)].add(
+        jnp.uint32(0) - 1, mode="promise_in_bounds")
+    return depth
+
+
+class AnchoredDepthCounter:
+    """Feeds fixed-length read rows through the anchored fast path,
+    rerunning spilled reads on the exact path. finish() returns the
+    depth vector (u32[n_kmers]) — bit-identical to the per-k-mer
+    DepthCounter on the same input."""
+
+    def __init__(self, index: AnchoredIndex, k: int, read_len: int,
+                 batch_reads: int = 1 << 15, max_runs: int = 4,
+                 max_dirty: int = 8,
+                 anchor_offsets: tuple | None = None):
+        self.index = index
+        self.k = k
+        self.read_len = read_len
+        self.batch_reads = batch_reads
+        self.max_runs = max_runs
+        self.max_dirty = max_dirty
+        W = read_len - k + 1
+        if anchor_offsets is None:
+            anchor_offsets = tuple(
+                sorted({0, W // 3, (2 * W) // 3, W - 1} - {-1}))
+        self.anchor_offsets = tuple(int(a) for a in anchor_offsets if 0 <= a < W)
+        self.diff = jnp.zeros(index.n_kmers + 2, dtype=jnp.uint32)
+        self._pending: list[np.ndarray] = []
+        self._pending_rows = 0
+        self.n_reads = 0
+        self.n_spilled = 0
+
+    def feed_reads(self, reads_rows: np.ndarray) -> None:
+        """reads_rows: u8[R, read_len] code rows (SEP-padded)."""
+        assert reads_rows.shape[1] == self.read_len
+        self._pending.append(reads_rows)
+        self._pending_rows += len(reads_rows)
+        while self._pending_rows >= self.batch_reads:
+            buf = np.concatenate(self._pending)
+            self._pending = [buf[self.batch_reads:]]
+            self._pending_rows = len(self._pending[0])
+            self._run(buf[: self.batch_reads])
+
+    def _run(self, batch: np.ndarray) -> None:
+        ix = self.index
+        reads = jnp.asarray(batch)
+        self.diff, spilled = anchored_count_batch(
+            reads, ix.rows, ix.genome_tiles, ix.dblock, self.diff,
+            None, k=self.k, read_len=self.read_len, n_buckets=ix.n_buckets,
+            anchor_offsets=self.anchor_offsets, max_runs=self.max_runs,
+            max_dirty=self.max_dirty)
+        n_sp = int(jnp.sum(spilled))
+        self.n_reads += len(batch)
+        if n_sp:
+            self.n_spilled += n_sp
+            self.diff = exact_count_rows(
+                reads, spilled, ix.rows, self.diff, k=self.k,
+                n_buckets=ix.n_buckets)
+
+    def finish(self) -> np.ndarray:
+        if self._pending_rows:
+            buf = np.concatenate(self._pending)
+            pad_rows = (-len(buf)) % self.batch_reads
+            if pad_rows:
+                buf = np.concatenate(
+                    [buf, np.full((pad_rows, self.read_len), codec.SEP, np.uint8)])
+            for off in range(0, len(buf), self.batch_reads):
+                self._run(buf[off: off + self.batch_reads])
+            self._pending, self._pending_rows = [], 0
+        diff = np.asarray(jax.device_get(self.diff)).astype(np.uint32)
+        depth = np.cumsum(diff, dtype=np.uint32)[: self.index.n_kmers]
+        return depth
+
+
+def rows_from_flat_codes(codes: np.ndarray, read_len: int) -> np.ndarray:
+    """Split a separator-delimited code stream into fixed-length rows
+    (reads shorter than read_len are SEP-padded; longer ones are split —
+    exact because a SEP-padded split loses no windows when the split
+    overlaps by k-1... callers with long reads should use the flat
+    path). Host-side numpy."""
+    sep_idx = np.flatnonzero(codes == codec.SEP)
+    bounds = np.concatenate([[-1], sep_idx, [len(codes)]])
+    rows = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        seg = codes[a + 1: b]
+        if len(seg) == 0:
+            continue
+        if len(seg) <= read_len:
+            row = np.full(read_len, codec.SEP, np.uint8)
+            row[: len(seg)] = seg
+            rows.append(row)
+        else:
+            for off in range(0, len(seg), read_len):
+                row = np.full(read_len, codec.SEP, np.uint8)
+                part = seg[off: off + read_len]
+                row[: len(part)] = part
+                rows.append(row)
+    if not rows:
+        return np.zeros((0, read_len), np.uint8)
+    return np.stack(rows)

@@ -77,6 +77,23 @@ count_step = jax.jit(count_kernel,
                      donate_argnums=(4,))
 
 
+def count_kernel_packed(codes, rows, depth, *, k: int, n_buckets: int):
+    """Packed-table count batch: exactly two row gathers per k-mer
+    (ops.packed_table), no probe loop, no tail. Output-identical to
+    count_kernel on the same dictionary."""
+    from quickmer2_tpu.ops.packed_table import probe_packed
+    chi, clo, valid = codec.sliding_kmers(codes, k)
+    trash = depth.shape[0] - 1
+    found, rank, _ = probe_packed(rows, chi, clo, n_buckets, jnp.uint32(trash))
+    r = jnp.where(valid & found, rank, jnp.uint32(trash)).astype(jnp.int32)
+    return depth.at[r].add(1, mode="promise_in_bounds")
+
+
+count_step_packed = jax.jit(count_kernel_packed,
+                            static_argnames=("k", "n_buckets"),
+                            donate_argnums=(2,))
+
+
 class PyPacker:
     """Pure-python fallback for utils.native.StreamPacker (slow; tests/CI)."""
 
@@ -126,16 +143,29 @@ def detect_format(path: str) -> str:
 
 
 class DepthCounter:
-    """Accumulates k-mer depth over streamed code batches on device."""
+    """Accumulates k-mer depth over streamed code batches on device.
 
-    def __init__(self, dictionary: Dictionary, batch_bases: int = 1 << 24):
+    layout="packed" (default) uses the TPU-native bucketized two-choice
+    table (2 row gathers/k-mer); layout="linear" keeps the
+    reference-layout probe loop (used by compat tests). Both produce
+    identical depth vectors.
+    """
+
+    def __init__(self, dictionary: Dictionary, batch_bases: int = 1 << 24,
+                 layout: str = "packed"):
         self.dict = dictionary
         self.k = dictionary.kmer_size
         self.batch_bases = batch_bases
-        hi, lo, rank = dictionary.device_arrays()
-        self.table_hi = jnp.asarray(hi)
-        self.table_lo = jnp.asarray(lo)
-        self.rank = jnp.asarray(rank)
+        self.layout = layout
+        if layout == "packed":
+            from quickmer2_tpu.ops.packed_table import PackedTable
+            self._packed = PackedTable.from_dictionary(dictionary)
+            self.rows = self._packed.device_rows()
+        else:
+            hi, lo, rank = dictionary.device_arrays()
+            self.table_hi = jnp.asarray(hi)
+            self.table_lo = jnp.asarray(lo)
+            self.rank = jnp.asarray(rank)
         self.depth = jnp.zeros(dictionary.n_kmers + 1, dtype=jnp.uint32)
         self._carry = np.zeros(0, np.uint8)
         self._pending: list[np.ndarray] = []
@@ -153,9 +183,14 @@ class DepthCounter:
 
     def _run(self, batch: np.ndarray) -> None:
         assert len(batch) == self.batch_bases
-        self.depth = count_step(
-            jnp.asarray(batch), self.table_hi, self.table_lo, self.rank,
-            self.depth, k=self.k, hash_size=self.dict.hash_size)
+        if self.layout == "packed":
+            self.depth = count_step_packed(
+                jnp.asarray(batch), self.rows, self.depth, k=self.k,
+                n_buckets=self._packed.n_buckets)
+        else:
+            self.depth = count_step(
+                jnp.asarray(batch), self.table_hi, self.table_lo, self.rank,
+                self.depth, k=self.k, hash_size=self.dict.hash_size)
         self.total_kmer_windows += len(batch) - self.k + 1
         self._carry = batch[-(self.k - 1):].copy()
 
