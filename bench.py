@@ -2,23 +2,24 @@
 
 Metric parity with the reference baseline: the reference reports
 81,843,317,281 k-mers in 690 s = 118.6 M k-mers/s with 6 count threads
-(tutorial.md:154-166, BASELINE.md) where "k-mers" counts every rolling
+(tutorial.md:154-166, BASELINE.md), where "k-mers" counts every rolling
 window position of every read. We measure the same quantity through the
-packed-table device count step (rolling codec + two-choice bucket probe
-+ rank scatter-add) on a dictionary sized so the working set is
-HBM-resident (16M entries, the per-chip shard scale of a GRCh38-class
-dictionary sharded over a pod).
+anchored fast path (ops.anchored: anchor probes → genome verify →
+rank-range adds; mismatching reads recounted exactly) on simulated
+150 bp reads with a realistic 0.3% substitution error rate. The exact
+packed-table per-k-mer path is reported to stderr for reference.
 
-All setup happens ON DEVICE (the host link here is a slow tunnel):
-the genome's canonical k-mers are placed into bucket rows with a
-two-round two-choice scatter (sub-percent losers probe as misses);
-reads are gathered from the genome as 150 bp windows.
+Scale: 2M-entry dictionary (structures built host-side; the host link
+here is a slow tunnel, so the working set is kept at ~100 MB of
+transfers). Random-access op rates on TPU are size-insensitive
+(measured: 75M elem/s at 1 MB vs 140M at 128 MB tables), so the number
+transfers to pod-scale shards within ~2x.
 
 Honest timing protocol for this environment: the tunnel backend's
-block_until_ready does not await remote completion, so the batch loop
-runs INSIDE one jitted graph and we time dispatch→host-fetch of a small
-slice, subtracting measured round-trip latency. (Protocol validated:
-chained 8192^3 bf16 matmuls measure 170 TFLOPs on this v5e.)
+block_until_ready does not await remote completion, so batch loops run
+INSIDE one jitted graph and we time dispatch→host-fetch, subtracting
+measured round-trip latency. (Protocol validated: chained 8192^3 bf16
+matmuls measure 170 TFLOPs on this v5e.)
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -33,119 +34,140 @@ import numpy as np
 BASELINE_KMERS_PER_S = 118.6e6  # 6-thread C reference (BASELINE.md)
 
 K = 30
-GENOME_BASES = 1 << 24
-BATCH_BASES = 1 << 24
+GENOME_BASES = 1 << 21          # 2M-base genome → ~2M-entry dictionary
 READ_LEN = 150
-LOAD = 0.5
+N_READS = 1 << 16               # reads per batch (~9.9M bases, 7.9M windows)
+ERROR_RATE = 0.003
 ITERS = 4
+
+
+def honest_time(fn, *args, lat, n=2):
+    np.asarray(fn(*args))  # compile + warm
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        np.asarray(fn(*args))
+        ts.append(time.time() - t0)
+    return max(min(ts) - lat, 1e-9)
 
 
 def main():
     import jax
     import jax.numpy as jnp
     from quickmer2_tpu.ops import codec
-    from quickmer2_tpu.ops.hash import djb_pair
-    from quickmer2_tpu.ops.packed_table import bucket_hashes_jnp
-    from quickmer2_tpu.pipelines.count import count_kernel_packed
-
-    n_windows = GENOME_BASES - K + 1
-    n_buckets = 1 << int(np.ceil(np.log2(n_windows / (4 * LOAD))))
+    from quickmer2_tpu.ops.anchored import (
+        anchored_count_kernel, build_dblock, exact_count_rows,
+        genome_tiles_np)
+    from quickmer2_tpu.ops.packed_table import PackedTable
 
     t0 = time.time()
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, size=GENOME_BASES).astype(np.uint8)
-    starts = rng.integers(0, GENOME_BASES - READ_LEN,
-                          size=BATCH_BASES // (READ_LEN + 1) + 1).astype(np.int32)
 
-    def group_offsets(sorted_keys):
-        # offset of each element within its equal-key run
-        n = sorted_keys.shape[0]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-        first = jnp.concatenate([jnp.ones(1, bool),
-                                 sorted_keys[1:] != sorted_keys[:-1]])
-        run_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(first, iota, 0))
-        return iota - run_start
+    # dictionary: unique canonical k-mers in genome order
+    canon, valid = codec.sliding_kmers_np(genome, K)
+    valid = valid & (canon != 0)
+    kmers = canon[valid]
+    _, first = np.unique(kmers, return_index=True)
+    keep = np.zeros(len(kmers), bool)
+    keep[np.sort(first)] = True
+    # drop k-mers appearing more than once entirely (dictionary = unique)
+    uniq, counts = np.unique(kmers, return_counts=True)
+    multi = set(uniq[counts > 1].tolist())
+    if multi:
+        keep &= ~np.isin(kmers, uniq[counts > 1])
+    dict_kmers = kmers[keep]
+    dict_pos = (np.flatnonzero(valid)[keep] + K - 1).astype(np.uint32)
+    n = len(dict_kmers)
 
-    @functools.partial(jax.jit, static_argnames=("n_buckets",))
-    def build(genome, starts, *, n_buckets):
-        chi, clo, valid = codec.sliding_kmers(genome, K)
-        n = chi.shape[0]
-        valid = valid & ((chi | clo) != 0)
-        h = djb_pair(chi, clo)
-        h1, h2 = bucket_hashes_jnp(h, n_buckets)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-        rows_flat = jnp.zeros(n_buckets * 16 + 4, jnp.uint32)
+    khi, klo = codec.split_u64(dict_kmers)
+    table = PackedTable.build(khi, klo, np.arange(n, dtype=np.uint32),
+                              pos=dict_pos)
+    dblock = build_dblock(dict_pos, GENOME_BASES)
+    tiles = genome_tiles_np(genome)
 
-        fill = jnp.zeros(n_buckets + 1, jnp.int32)
+    # reads with substitution errors
+    starts = rng.integers(0, GENOME_BASES - READ_LEN, size=N_READS)
+    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]].copy()
+    n_err = rng.binomial(N_READS * READ_LEN, ERROR_RATE)
+    er = rng.integers(0, N_READS, size=n_err)
+    ec = rng.integers(0, READ_LEN, size=n_err)
+    reads[er, ec] = (reads[er, ec] + rng.integers(1, 4, size=n_err)) % 4
+    # half the reads reverse-complemented
+    flip = rng.random(N_READS) < 0.5
+    reads[flip] = ((reads[flip, ::-1] + 2) % 4).astype(np.uint8)
 
-        def place(rows_flat, fill, bucket, want):
-            # sort candidates by bucket, claim entries fill..3 per bucket
-            key = jnp.where(want, bucket.astype(jnp.int32), jnp.int32(n_buckets))
-            skey, sidx = jax.lax.sort_key_val(key, iota)
-            off = group_offsets(skey) + fill[skey]
-            ok = (skey < n_buckets) & (off < 4)
-            slot = jnp.where(ok, skey * 16 + off * 4, n_buckets * 16)
-            src = sidx
-            rows_flat = rows_flat.at[slot].set(
-                jnp.where(ok, chi[src], 0), mode="promise_in_bounds")
-            rows_flat = rows_flat.at[slot + 1].set(
-                jnp.where(ok, clo[src], 0), mode="promise_in_bounds")
-            rows_flat = rows_flat.at[slot + 2].set(
-                jnp.where(ok, src.astype(jnp.uint32), 0), mode="promise_in_bounds")
-            placed_mask = jnp.zeros(n, bool).at[src].set(ok, mode="promise_in_bounds")
-            fill = fill.at[jnp.where(ok, skey, n_buckets)].add(
-                1, mode="promise_in_bounds")
-            return rows_flat, fill, placed_mask
+    rows_d = jnp.asarray(table.rows)
+    tiles_d = jnp.asarray(tiles)
+    dblock_d = jnp.asarray(dblock)
+    reads_d = jnp.asarray(reads)
+    diff0 = jnp.zeros(n + 2, jnp.uint32)
+    jax.block_until_ready((rows_d, tiles_d, dblock_d, reads_d))
+    print(f"# setup {time.time()-t0:.1f}s: dict {n} kmers, "
+          f"buckets {table.n_buckets}, reads {N_READS}x{READ_LEN}, "
+          f"backend {jax.default_backend()}", file=sys.stderr)
 
-        rows_flat, fill, placed1 = place(rows_flat, fill, h1, valid)
-        rows_flat, fill, placed2 = place(rows_flat, fill, h2, valid & ~placed1)
-        rows = rows_flat[: n_buckets * 16].reshape(n_buckets, 16)
+    W = READ_LEN - K + 1
+    anchor_offsets = (0, W // 3, (2 * W) // 3, W - 1)
 
-        win = starts[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, READ_LEN), 1)
-        codes = jnp.concatenate(
-            [genome[win], jnp.full((starts.shape[0], 1), 4, jnp.uint8)],
-            axis=1).reshape(-1)[:BATCH_BASES]
-        return rows, codes, jnp.sum(placed1 | placed2)
+    @jax.jit
+    def anchored_many(reads, rows, tiles, dblock, diff):
+        def body(i, diff):
+            diff, _ = anchored_count_kernel(
+                reads, rows, tiles, dblock, diff, None, k=K,
+                read_len=READ_LEN, n_buckets=table.n_buckets,
+                anchor_offsets=anchor_offsets, max_runs=4, max_dirty=0)
+            return diff
+        return jax.lax.fori_loop(0, ITERS, body, diff)[:8]
 
-    rows, codes_d, n_placed = build(jnp.asarray(genome), jnp.asarray(starts),
-                                    n_buckets=n_buckets)
-    depth0 = jnp.zeros(n_windows + 1, dtype=jnp.uint32)
-    print(f"# setup {time.time()-t0:.1f}s: {int(n_placed)}/{n_windows} placed, "
-          f"buckets 2^{n_buckets.bit_length()-1}, backend {jax.default_backend()}",
-          file=sys.stderr)
+    @jax.jit
+    def spill_frac(reads, rows, tiles, dblock, diff):
+        _, spilled = anchored_count_kernel(
+            reads, rows, tiles, dblock, diff, None, k=K,
+            read_len=READ_LEN, n_buckets=table.n_buckets,
+            anchor_offsets=anchor_offsets, max_runs=4, max_dirty=0)
+        return jnp.mean(spilled.astype(jnp.float32))
 
-    @functools.partial(jax.jit, static_argnames=("n_buckets",))
-    def count_many(codes, rows, depth, *, n_buckets):
-        def body(i, depth):
-            return count_kernel_packed(codes, rows, depth, k=K,
-                                       n_buckets=n_buckets)
-        return jax.lax.fori_loop(0, ITERS, body, depth)[:8]
+    @jax.jit
+    def exact_many(reads, rows, diff):
+        mask = jnp.ones(reads.shape[0], bool)
+        def body(i, diff):
+            return exact_count_rows(reads, mask, rows, diff, k=K,
+                                    n_buckets=table.n_buckets)
+        return jax.lax.fori_loop(0, ITERS, body, diff)[:8]
 
     @jax.jit
     def trivial(x):
         return x + 1
 
     np.asarray(trivial(jnp.int32(0)))
-    lat_t0 = time.time()
+    lt0 = time.time()
     np.asarray(trivial(jnp.int32(1)))
-    lat = time.time() - lat_t0
+    lat = time.time() - lt0
 
-    np.asarray(count_many(codes_d, rows, depth0, n_buckets=n_buckets))
-    times = []
-    for _ in range(2):
-        t0 = time.time()
-        np.asarray(count_many(codes_d, rows, depth0, n_buckets=n_buckets))
-        times.append(time.time() - t0)
-    dt = max(min(times) - lat, 1e-9)
+    windows_per_iter = N_READS * W
+    sp = float(np.asarray(spill_frac(reads_d, rows_d, tiles_d, dblock_d, diff0)))
 
-    windows = (BATCH_BASES - K + 1) * ITERS
-    kmers_per_s = windows / dt
+    t_exact = honest_time(exact_many, reads_d, rows_d, diff0, lat=lat)
+    exact_rate = windows_per_iter * ITERS / t_exact
+    print(f"# exact per-kmer path: {exact_rate/1e6:.1f} M kmers/s "
+          f"({exact_rate/BASELINE_KMERS_PER_S:.2f}x baseline)", file=sys.stderr)
+
+    t_anch = honest_time(anchored_many, reads_d, rows_d, tiles_d, dblock_d,
+                         diff0, lat=lat)
+    # spilled reads are recounted on the exact path: charge them at the
+    # measured exact rate for an end-to-end effective throughput
+    t_total = t_anch + sp * t_exact
+    rate = windows_per_iter * ITERS / t_total
+    print(f"# anchored pass: {windows_per_iter*ITERS/t_anch/1e6:.1f} M kmers/s, "
+          f"spill {sp*100:.1f}% → effective {rate/1e6:.1f} M kmers/s",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "count_kmers_per_s_per_chip",
-        "value": round(kmers_per_s),
+        "value": round(rate),
         "unit": "kmers/s",
-        "vs_baseline": round(kmers_per_s / BASELINE_KMERS_PER_S, 3),
+        "vs_baseline": round(rate / BASELINE_KMERS_PER_S, 3),
     }))
 
 

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("count", help="count k-mer depth from sample reads")
     c.add_argument("-t", type=int, default=1, help="threads (CLI parity)")
     c.add_argument("--batch-bases", type=int, default=1 << 24)
+    c.add_argument("--mode", choices=["flat", "anchored"], default="flat",
+                   help="anchored = genome-anchored fast path (needs the "
+                        "reference FASTA next to the .qm); bit-identical "
+                        "output to flat")
+    c.add_argument("--read-len", type=int, default=None,
+                   help="fixed read length for anchored mode (autodetected)")
     c.add_argument("fasta", help="reference FASTA path or .qm path")
     c.add_argument("sample", help="FASTA/FASTQ reads ('-' for stdin)")
     c.add_argument("out_prefix")
@@ -92,7 +98,9 @@ def main(argv=None) -> int:
         from quickmer2_tpu.pipelines.count import run_count
         qm = args.fasta if args.fasta.endswith(".qm") else args.fasta + ".qm"
         run_count(qm, args.sample, args.out_prefix,
-                  batch_bases=args.batch_bases)
+                  batch_bases=args.batch_bases, mode=args.mode,
+                  ref_fasta=args.fasta if args.mode == "anchored" else None,
+                  read_len=args.read_len)
 
     elif args.cmd == "est":
         from quickmer2_tpu.pipelines.est import run_est

@@ -71,28 +71,8 @@ class AnchoredIndex:
         table = PackedTable.build(khi, klo, rank,
                                   pos=np.asarray(dict_end_pos, np.uint32))
 
-        ng = -(-G // GBLK)
-        tiles = np.full(ng * GBLK, codec.SEP, np.uint8)
-        tiles[:G] = genome_codes
-        tiles = tiles.reshape(ng, GBLK)
-
-        nb = -(-G // DBLK) + 1
-        dblock = np.zeros((nb, 4), np.uint32)
-        # bitmask of dictionary end positions per block + prefix counts
-        blk = dict_end_pos // DBLK
-        bit = dict_end_pos % DBLK
-        hi_mask = np.zeros(nb, np.uint64)
-        lo_mask = np.zeros(nb, np.uint64)
-        sel_hi = bit >= 32
-        np.bitwise_or.at(hi_mask, blk[sel_hi],
-                         np.uint64(1) << (bit[sel_hi] - 32).astype(np.uint64))
-        np.bitwise_or.at(lo_mask, blk[~sel_hi],
-                         np.uint64(1) << bit[~sel_hi].astype(np.uint64))
-        counts = np.bincount(blk, minlength=nb)
-        rank_base = np.concatenate([[0], np.cumsum(counts[:-1])]).astype(np.uint32)
-        dblock[:, 0] = rank_base
-        dblock[:, 1] = hi_mask.astype(np.uint32)
-        dblock[:, 2] = lo_mask.astype(np.uint32)
+        tiles = genome_tiles_np(genome_codes)
+        dblock = build_dblock(dict_end_pos, G)
         return cls(jnp.asarray(table.rows), table.n_buckets,
                    jnp.asarray(tiles), G, jnp.asarray(dblock), n)
 
@@ -141,6 +121,37 @@ def _genome_stream_and_positions(dic, fasta_path: str):
     return stream, dict_pos
 
 
+def genome_tiles_np(genome_codes: np.ndarray) -> np.ndarray:
+    """Pad the code stream to GBLK tiles (SEP padding)."""
+    G = len(genome_codes)
+    ng = -(-G // GBLK)
+    tiles = np.full(ng * GBLK, codec.SEP, np.uint8)
+    tiles[:G] = genome_codes
+    return tiles.reshape(ng, GBLK)
+
+
+def build_dblock(dict_end_pos: np.ndarray, G: int) -> np.ndarray:
+    """Sampled prefix-count structure over dictionary end positions:
+    per DBLK-position block, [rank_base, bitmask_hi, bitmask_lo, 0]."""
+    nb = -(-G // DBLK) + 1
+    dblock = np.zeros((nb, 4), np.uint32)
+    blk = np.asarray(dict_end_pos) // DBLK
+    bit = np.asarray(dict_end_pos) % DBLK
+    hi_mask = np.zeros(nb, np.uint64)
+    lo_mask = np.zeros(nb, np.uint64)
+    sel_hi = bit >= 32
+    np.bitwise_or.at(hi_mask, blk[sel_hi],
+                     np.uint64(1) << (bit[sel_hi] - 32).astype(np.uint64))
+    np.bitwise_or.at(lo_mask, blk[~sel_hi],
+                     np.uint64(1) << bit[~sel_hi].astype(np.uint64))
+    counts = np.bincount(blk, minlength=nb)
+    rank_base = np.concatenate([[0], np.cumsum(counts[:-1])]).astype(np.uint32)
+    dblock[:, 0] = rank_base
+    dblock[:, 1] = hi_mask.astype(np.uint32)
+    dblock[:, 2] = lo_mask.astype(np.uint32)
+    return dblock
+
+
 def _popcount32(x):
     return jax.lax.population_count(x)
 
@@ -187,13 +198,10 @@ def fetch_genome_window(genome_tiles, start, width: int):
     return buf[:, :width]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "read_len", "n_buckets",
-                                    "anchor_offsets", "max_runs", "max_dirty"))
-def anchored_count_batch(reads, rows, genome_tiles, dblock, diff, spill_mask,
-                         *, k: int, read_len: int, n_buckets: int,
-                         anchor_offsets: tuple = (0, 30, 60, 91),
-                         max_runs: int = 4, max_dirty: int = 8):
+def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
+                          *, k: int, read_len: int, n_buckets: int,
+                          anchor_offsets: tuple = (0, 30, 60, 91),
+                          max_runs: int = 4, max_dirty: int = 8):
     """Process one batch of fixed-length reads.
 
     reads: u8[R, read_len] code rows (SEP-padded). diff: u32[n_kmers+2]
@@ -335,6 +343,12 @@ def anchored_count_batch(reads, rows, genome_tiles, dblock, diff, spill_mask,
     return diff, spilled
 
 
+anchored_count_batch = jax.jit(
+    anchored_count_kernel,
+    static_argnames=("k", "read_len", "n_buckets", "anchor_offsets",
+                     "max_runs", "max_dirty"))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
 def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int):
     """Exact per-k-mer probe over read rows, masked per read — used for
@@ -359,14 +373,20 @@ def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int):
 
 
 class AnchoredDepthCounter:
-    """Feeds fixed-length read rows through the anchored fast path,
-    rerunning spilled reads on the exact path. finish() returns the
-    depth vector (u32[n_kmers]) — bit-identical to the per-k-mer
-    DepthCounter on the same input."""
+    """Feeds fixed-length read rows through the anchored fast path.
+
+    Reads that spill (no anchor, > max_runs clean runs, or > max_dirty
+    dirty k-mers — with the default max_dirty=0, ANY mismatching read)
+    are compacted host-side into dense batches and recounted by the
+    exact per-k-mer path, so the exact path's cost is proportional to
+    the spill volume, not the batch width. finish() returns the depth
+    vector (u32[n_kmers]) — bit-identical to the per-k-mer DepthCounter
+    on the same input.
+    """
 
     def __init__(self, index: AnchoredIndex, k: int, read_len: int,
                  batch_reads: int = 1 << 15, max_runs: int = 4,
-                 max_dirty: int = 8,
+                 max_dirty: int = 0,
                  anchor_offsets: tuple | None = None):
         self.index = index
         self.k = k
@@ -382,6 +402,8 @@ class AnchoredDepthCounter:
         self.diff = jnp.zeros(index.n_kmers + 2, dtype=jnp.uint32)
         self._pending: list[np.ndarray] = []
         self._pending_rows = 0
+        self._spill: list[np.ndarray] = []
+        self._spill_rows = 0
         self.n_reads = 0
         self.n_spilled = 0
 
@@ -404,13 +426,23 @@ class AnchoredDepthCounter:
             None, k=self.k, read_len=self.read_len, n_buckets=ix.n_buckets,
             anchor_offsets=self.anchor_offsets, max_runs=self.max_runs,
             max_dirty=self.max_dirty)
-        n_sp = int(jnp.sum(spilled))
+        sp = np.asarray(spilled)
         self.n_reads += len(batch)
-        if n_sp:
-            self.n_spilled += n_sp
-            self.diff = exact_count_rows(
-                reads, spilled, ix.rows, self.diff, k=self.k,
-                n_buckets=ix.n_buckets)
+        if sp.any():
+            self.n_spilled += int(sp.sum())
+            self._spill.append(batch[sp])
+            self._spill_rows += int(sp.sum())
+            while self._spill_rows >= self.batch_reads:
+                buf = np.concatenate(self._spill)
+                self._spill = [buf[self.batch_reads:]]
+                self._spill_rows = len(self._spill[0])
+                self._run_exact(buf[: self.batch_reads])
+
+    def _run_exact(self, batch: np.ndarray) -> None:
+        ix = self.index
+        self.diff = exact_count_rows(
+            jnp.asarray(batch), jnp.ones(len(batch), bool), ix.rows,
+            self.diff, k=self.k, n_buckets=ix.n_buckets)
 
     def finish(self) -> np.ndarray:
         if self._pending_rows:
@@ -422,34 +454,63 @@ class AnchoredDepthCounter:
             for off in range(0, len(buf), self.batch_reads):
                 self._run(buf[off: off + self.batch_reads])
             self._pending, self._pending_rows = [], 0
+        if self._spill_rows:
+            buf = np.concatenate(self._spill)
+            pad_rows = (-len(buf)) % self.batch_reads
+            if pad_rows:
+                buf = np.concatenate(
+                    [buf, np.full((pad_rows, self.read_len), codec.SEP, np.uint8)])
+            for off in range(0, len(buf), self.batch_reads):
+                self._run_exact(buf[off: off + self.batch_reads])
+            self._spill, self._spill_rows = [], 0
         diff = np.asarray(jax.device_get(self.diff)).astype(np.uint32)
         depth = np.cumsum(diff, dtype=np.uint32)[: self.index.n_kmers]
         return depth
 
 
 def rows_from_flat_codes(codes: np.ndarray, read_len: int) -> np.ndarray:
-    """Split a separator-delimited code stream into fixed-length rows
-    (reads shorter than read_len are SEP-padded; longer ones are split —
-    exact because a SEP-padded split loses no windows when the split
-    overlaps by k-1... callers with long reads should use the flat
-    path). Host-side numpy."""
+    """Split a separator-delimited code stream into fixed-length
+    SEP-padded rows (vectorized). Reads longer than read_len raise —
+    such inputs belong on the flat path (see pipelines.count)."""
+    codes = np.asarray(codes, np.uint8)
+    if len(codes) == 0:
+        return np.zeros((0, read_len), np.uint8)
     sep_idx = np.flatnonzero(codes == codec.SEP)
     bounds = np.concatenate([[-1], sep_idx, [len(codes)]])
-    rows = []
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        seg = codes[a + 1: b]
-        if len(seg) == 0:
-            continue
-        if len(seg) <= read_len:
-            row = np.full(read_len, codec.SEP, np.uint8)
-            row[: len(seg)] = seg
-            rows.append(row)
-        else:
-            for off in range(0, len(seg), read_len):
-                row = np.full(read_len, codec.SEP, np.uint8)
-                part = seg[off: off + read_len]
-                row[: len(part)] = part
-                rows.append(row)
-    if not rows:
+    starts = bounds[:-1] + 1
+    lens = bounds[1:] - starts
+    keep = lens > 0
+    starts, lens = starts[keep], lens[keep]
+    if len(starts) == 0:
         return np.zeros((0, read_len), np.uint8)
-    return np.stack(rows)
+    if lens.max() > read_len:
+        raise ValueError(
+            f"read of {lens.max()} bases exceeds row width {read_len}")
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    rows = codes[np.minimum(idx, len(codes) - 1)]
+    rows[np.arange(read_len)[None, :] >= lens[:, None]] = codec.SEP
+    return rows
+
+
+class RowStreamer:
+    """Accumulates a separator-delimited code stream and emits
+    fixed-length read rows, carrying partial reads across chunks."""
+
+    def __init__(self, read_len: int):
+        self.read_len = read_len
+        self._tail = np.zeros(0, np.uint8)
+
+    def feed(self, codes: np.ndarray) -> np.ndarray:
+        buf = np.concatenate([self._tail, codes]) if len(self._tail) else codes
+        seps = np.flatnonzero(buf == codec.SEP)
+        if len(seps) == 0:
+            self._tail = buf
+            return np.zeros((0, self.read_len), np.uint8)
+        cut = seps[-1] + 1
+        self._tail = buf[cut:]
+        return rows_from_flat_codes(buf[:cut], self.read_len)
+
+    def finish(self) -> np.ndarray:
+        out = rows_from_flat_codes(self._tail, self.read_len)
+        self._tail = np.zeros(0, np.uint8)
+        return out

@@ -230,14 +230,32 @@ def gc_curve_from_depth(depth_u16: np.ndarray, qgc: np.ndarray):
 
 def run_count(qm_path: str, sample_path: str, out_prefix: str,
               batch_bases: int = 1 << 24, fmt: str | None = None,
-              chunk_bytes: int = 1 << 24, verbose: bool = True) -> dict:
+              chunk_bytes: int = 1 << 24, verbose: bool = True,
+              mode: str = "flat", ref_fasta: str | None = None,
+              read_len: int | None = None) -> dict:
     """Full count phase: .qm + reads → <out_prefix>.bin (+ .txt if the
-    dictionary's .qgc companion exists). Returns summary stats."""
+    dictionary's .qgc companion exists). Returns summary stats.
+
+    mode="flat"     — separator-delimited code stream, per-k-mer probes.
+    mode="anchored" — the fast path (ops.anchored): fixed-length read
+                      rows anchored against the genome; requires
+                      ref_fasta (the genome the dictionary was built
+                      from). Bit-identical output to flat mode.
+    """
     t0 = time.time()
     dictionary = Dictionary.from_qm(qm_path)
-    counter = DepthCounter(dictionary, batch_bases=batch_bases)
+    row_streamer = None
+    if mode == "anchored":
+        from quickmer2_tpu.ops.anchored import (
+            AnchoredDepthCounter, AnchoredIndex, RowStreamer)
+        if ref_fasta is None:
+            ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
+        index = AnchoredIndex.from_dictionary_and_fasta(dictionary, ref_fasta)
+    else:
+        counter = DepthCounter(dictionary, batch_bases=batch_bases)
     import sys
     stream = sys.stdin.buffer if sample_path == "-" else open(sample_path, "rb")
+    total_windows = 0
     try:
         first = stream.read(chunk_bytes)
         # FASTQ autodetected by a leading '@' (QuicKmer.c:393); works for
@@ -246,8 +264,25 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
         packer = make_packer(fmt)
         data = first
         while data:
-            counter.feed_codes(packer.feed(data))
+            codes = packer.feed(data)
+            if mode == "anchored":
+                if row_streamer is None:
+                    if read_len is None:
+                        seps = np.flatnonzero(codes == SEP)
+                        read_len = int(seps[0]) if len(seps) else len(codes)
+                    row_streamer = RowStreamer(read_len)
+                    counter = AnchoredDepthCounter(
+                        index, dictionary.kmer_size, read_len)
+                rows = row_streamer.feed(codes)
+                if len(rows):
+                    counter.feed_reads(rows)
+            else:
+                counter.feed_codes(codes)
             data = stream.read(chunk_bytes)
+        if mode == "anchored" and row_streamer is not None:
+            tail_rows = row_streamer.finish()
+            if len(tail_rows):
+                counter.feed_reads(tail_rows)
     finally:
         if sample_path != "-":
             stream.close()
@@ -256,8 +291,12 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
     formats.write_u16(out_prefix + ".bin", depth_u16)
 
     stats = {"n_kmers": dictionary.n_kmers,
-             "total_windows": counter.total_kmer_windows,
-             "elapsed_s": time.time() - t0}
+             "total_windows": getattr(counter, "total_kmer_windows", 0),
+             "elapsed_s": time.time() - t0,
+             "mode": mode}
+    if mode == "anchored":
+        stats["n_reads"] = counter.n_reads
+        stats["n_spilled"] = counter.n_spilled
     qgc_path = _companion(qm_path, ".qgc")
     if not os.path.exists(qgc_path):
         qgc_path = qm_path + ".qgc"
