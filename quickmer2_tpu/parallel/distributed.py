@@ -1,0 +1,155 @@
+"""Multi-host (multi-process) distributed count.
+
+The reference is single-host pthreads (SURVEY.md section 2.3); this is
+the TPU-pod equivalent with no reference counterpart: every host
+(jax process) streams a disjoint shard of the read stream against its
+local replica/shard of the dictionary, and the per-host partial depth
+vectors are merged by one global all-reduce at the end — psum over ICI
+within a slice, DCN across slices, exactly the "communication backend"
+SURVEY.md section 5 calls for.
+
+Usage (one process per host, standard jax.distributed bootstrap):
+
+    from quickmer2_tpu.parallel import distributed as dist
+    dist.initialize()                       # or initialize(coordinator, n, i)
+    shard = dist.byte_shard("reads.fq", record_aligned=True)
+    ... count the shard locally (DepthCounter / AnchoredDepthCounter) ...
+    depth = dist.allreduce_depth(local_depth)
+
+Determinism: each record is counted by exactly one process (shard
+boundaries snap to record starts), and the final merge is an integer
+sum — the result is bit-identical to a single-process run regardless of
+process count (verified by tests/test_distributed.py with real
+multi-process CPU jax).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def initialize(coordinator: str | None = None, num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """jax.distributed bootstrap. With no args, relies on the
+    environment (TPU pod metadata or JAX_COORDINATOR_ADDRESS etc.)."""
+    if coordinator is None and num_processes is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def _snap_to_record(f, pos: int, is_fastq: bool) -> int:
+    """Advance pos to the next record start at or after pos.
+
+    FASTA: next line starting with '>'. FASTQ: next '@' header line that
+    is genuinely a record start — disambiguated from '@' in quality
+    lines by requiring the line 2 ahead to start with '+'."""
+    if pos == 0:
+        return 0
+    f.seek(max(pos - 1, 0))
+    f.readline()  # finish any partial line
+    while True:
+        line_start = f.tell()
+        line = f.readline()
+        if not line:
+            return line_start
+        if not is_fastq:
+            if line.startswith(b">"):
+                return line_start
+        else:
+            if line.startswith(b"@"):
+                mark = f.tell()
+                f.readline()                  # sequence
+                plus = f.readline()
+                f.seek(mark)
+                if plus.startswith(b"+"):
+                    return line_start
+
+
+def byte_shard(path: str, process_id: int | None = None,
+               num_processes: int | None = None):
+    """This process's (offset, length) byte range of the sample file,
+    snapped to record boundaries so each read belongs to exactly one
+    process."""
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if num_processes is None else num_processes
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        is_fastq = f.read(1) == b"@"
+        raw_lo = size * pid // n
+        raw_hi = size * (pid + 1) // n
+        lo = _snap_to_record(f, raw_lo, is_fastq)
+        hi = _snap_to_record(f, raw_hi, is_fastq) if raw_hi < size else size
+    return lo, max(hi - lo, 0)
+
+
+def read_shard(path: str, offset: int, length: int,
+               chunk_bytes: int = 1 << 24):
+    """Yield chunks of the byte range."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        remaining = length
+        while remaining > 0:
+            data = f.read(min(chunk_bytes, remaining))
+            if not data:
+                break
+            remaining -= len(data)
+            yield data
+
+
+def allreduce_depth(local_depth: np.ndarray) -> np.ndarray:
+    """Sum partial depth vectors across all processes (one collective;
+    psum over ICI/DCN). Single-process: identity."""
+    if jax.process_count() == 1:
+        return np.asarray(local_depth)
+    from jax.experimental import multihost_utils
+    # process_allgather stacks per-process arrays along a new axis
+    stacked = multihost_utils.process_allgather(
+        jnp.asarray(local_depth, jnp.uint32))
+    return np.asarray(stacked.astype(np.uint64).sum(axis=0) & 0xFFFFFFFF
+                      ).astype(np.uint32)
+
+
+def run_count_distributed(qm_path: str, sample_path: str, out_prefix: str,
+                          batch_bases: int = 1 << 24, fmt: str | None = None,
+                          verbose: bool = True) -> dict:
+    """Data-parallel count across jax processes: each process counts its
+    record-aligned byte shard, partials merge with one all-reduce, and
+    process 0 writes the artifacts."""
+    from quickmer2_tpu.dictionary import Dictionary
+    from quickmer2_tpu.io import formats
+    from quickmer2_tpu.pipelines.count import (
+        DepthCounter, _companion, gc_curve_from_depth, make_packer)
+
+    dictionary = Dictionary.from_qm(qm_path)
+    counter = DepthCounter(dictionary, batch_bases=batch_bases)
+    lo, length = byte_shard(sample_path)
+    with open(sample_path, "rb") as f:
+        is_fastq = f.read(1) == b"@"
+    packer = make_packer(fmt or ("fastq" if is_fastq else "fasta-lines"))
+    for chunk in read_shard(sample_path, lo, length):
+        counter.feed_codes(packer.feed(chunk))
+    local = counter.finish()
+    depth = allreduce_depth(local)
+
+    stats = {"n_kmers": dictionary.n_kmers, "process": jax.process_index(),
+             "shard": (lo, length)}
+    if jax.process_index() == 0:
+        depth_u16 = (depth & 0xFFFF).astype(np.uint16)
+        formats.write_u16(out_prefix + ".bin", depth_u16)
+        qgc_path = _companion(qm_path, ".qgc")
+        if os.path.exists(qgc_path):
+            qgc = formats.read_u16(qgc_path)[: dictionary.n_kmers]
+            mean, count, var, mean_depth = gc_curve_from_depth(depth_u16, qgc)
+            formats.write_gc_curve(out_prefix + ".txt", mean, count, var)
+            stats["mean_depth"] = mean_depth
+            if verbose:
+                print("Mean sequencing depth: %.2f" % mean_depth)
+    return stats

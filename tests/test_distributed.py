@@ -1,0 +1,74 @@
+"""Multi-process distributed count: real jax.distributed with CPU
+processes, result must be bit-identical to single-process."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from quickmer2_tpu.io import formats
+from tests import helpers
+
+WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from quickmer2_tpu.parallel import distributed as dist
+dist.initialize({coord!r}, {n}, int(sys.argv[1]))
+stats = dist.run_count_distributed({qm!r}, {sample!r},
+                                   {out!r} + "." + sys.argv[1],
+                                   batch_bases=1 << 16, verbose=False)
+# every process writes its shard info; process 0 wrote the artifacts
+print("SHARD", jax.process_index(), stats["shard"])
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.parametrize("fmt", ["fasta", "fastq"])
+def test_two_process_count_matches_single(tmp_path, rng, fmt):
+    d = str(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    chr1 = helpers.random_genome(rng, 20000)
+    fa = os.path.join(d, "g.fa")
+    helpers.write_fasta(fa, {"c1": chr1})
+    from quickmer2_tpu.config import SearchConfig
+    from quickmer2_tpu.pipelines import search as search_pipe
+    search_pipe.run_search(fa, SearchConfig(kmer_size=30, hash_size=1 << 16,
+                                            edit_distance=0, window_size=100),
+                           verbose=False)
+    reads = helpers.simulate_reads(np.random.default_rng(4), chr1, 2500, 100)
+    sample = os.path.join(d, "reads." + fmt)
+    if fmt == "fastq":
+        helpers.write_fastq(sample, reads)
+    else:
+        helpers.write_reads_fasta(sample, reads)
+
+    # single-process truth
+    from quickmer2_tpu.pipelines.count import run_count
+    run_count(fa + ".qm", sample, os.path.join(d, "single"),
+              batch_bases=1 << 16, verbose=False)
+    truth = formats.read_u16(os.path.join(d, "single.bin"))
+
+    coord = f"127.0.0.1:{_free_port()}"
+    script = WORKER.format(repo=repo, coord=coord, n=2, qm=fa + ".qm",
+                           sample=sample, out=os.path.join(d, "multi"))
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+             for i in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    multi = formats.read_u16(os.path.join(d, "multi.0.bin"))
+    np.testing.assert_array_equal(multi, truth)
