@@ -114,7 +114,7 @@ def _try_place(khi, klo, rank, pos, h, n_buckets):
                         np.where(fill[b2] < ENTRIES_PER_BUCKET, b2, -1))
         stuck = cand < 0
         if stuck.all():
-            return None
+            break  # remaining keys all need eviction — go to cuckoo
         # first-come order within this round: stable sequential claim via
         # cumulative count per bucket
         order = np.argsort(cand, kind="stable")
@@ -130,6 +130,8 @@ def _try_place(khi, klo, rank, pos, h, n_buckets):
         slot_of[placed_idx] = cs[ok] * ENTRIES_PER_BUCKET + entry[ok]
         np.add.at(fill, cs[ok], 1)
         pending = pending[np.isin(pending, placed_idx, invert=True)]
+    if len(pending) and not _cuckoo_evict(pending, slot_of, h1, h2, n_buckets):
+        return None
     if (slot_of < 0).any():
         return None
     rows = np.zeros((n_buckets, ROW_WIDTH), np.uint32)
@@ -139,6 +141,42 @@ def _try_place(khi, klo, rank, pos, h, n_buckets):
     flat[slot_of, 2] = np.asarray(rank, np.uint32)
     flat[slot_of, 3] = np.asarray(pos, np.uint32)
     return rows
+
+
+def _cuckoo_evict(pending, slot_of, h1, h2, n_buckets) -> bool:
+    """Place the (rare, ~0.1%) keys whose both buckets filled during the
+    greedy rounds, by deterministic cuckoo random-walk eviction. Mutates
+    slot_of in place; returns False if a walk exceeds the kick budget
+    (caller doubles the table)."""
+    C = ENTRIES_PER_BUCKET
+    occupant = np.full(n_buckets * C, -1, np.int64)
+    placed = slot_of >= 0
+    occupant[slot_of[placed]] = np.flatnonzero(placed)
+    for key in pending:
+        cur = int(key)
+        bucket = int(h1[cur])
+        for kick in range(512):
+            base = bucket * C
+            empty = -1
+            for e in range(C):
+                if occupant[base + e] < 0:
+                    empty = e
+                    break
+            if empty >= 0:
+                occupant[base + empty] = cur
+                slot_of[cur] = base + empty
+                break
+            victim_e = kick % C
+            victim = int(occupant[base + victim_e])
+            occupant[base + victim_e] = cur
+            slot_of[cur] = base + victim_e
+            slot_of[victim] = -1
+            # victim moves to its alternate bucket
+            bucket = int(h2[victim]) if int(h1[victim]) == bucket else int(h1[victim])
+            cur = victim
+        else:
+            return False
+    return True
 
 
 def probe_packed(rows, khi, klo, n_buckets: int, miss_rank):

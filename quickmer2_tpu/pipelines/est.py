@@ -51,7 +51,8 @@ def mean_depth_from_txt(txt_path: str) -> float:
 
 
 def run_est(ref_prefix: str, sample_prefix: str, out_bed: str,
-            cfg: EstConfig | None = None, verbose: bool = True) -> dict:
+            cfg: EstConfig | None = None, verbose: bool = True,
+            device: bool = False) -> dict:
     """ref_prefix: path prefix of the dictionary companions (<p>.qgc,
     <p>.bed — the reference passes the FASTA path); sample_prefix: count
     outputs (<p>.bin, <p>.txt)."""
@@ -76,18 +77,28 @@ def run_est(ref_prefix: str, sample_prefix: str, out_bed: str,
         txt_path, frac=cfg.lowess_frac, fit_lo=cfg.gc_fit_lo,
         fit_hi=cfg.gc_fit_hi, clip_lo=cfg.corr_clip_lo, clip_hi=cfg.corr_clip_hi)
 
-    # per-k-mer corrected depth, float32 products in chain order
-    gc_bin = (qgc & formats.GC_BIN_MASK).astype(np.int64)
-    prod = (factors[gc_bin] * depth.astype(np.float32)).astype(np.float64)
+    # emitted windows: kmer_end < n (final window dropped when no
+    # trailing k-mers exist — QuicKmer.c:664-674)
+    emit = windows[:, 3] < n
+    windows_e = windows[emit]
+    chroms_e = [c for c, m in zip(chroms, emit) if m]
 
-    rows = []
-    half_mean = mean_depth / 2.0
-    for (chrom, (b, e, ks, ke)) in zip(chroms, windows):
-        if ke >= n:   # final window dropped when no trailing k-mers exist
-            break
-        wd = float(np.add.reduceat(prod[ks:ke], [0])[0]) if ke > ks else 0.0
-        cn = wd / (ke - ks) / half_mean
-        rows.append((chrom, int(b), int(e), cn))
+    if device:
+        from quickmer2_tpu.ops.est_device import cn_values
+        cns = cn_values(depth, qgc, factors, windows_e, mean_depth)
+        rows = [(c, int(w[0]), int(w[1]), float(cn))
+                for c, w, cn in zip(chroms_e, windows_e, cns)]
+    else:
+        # host path: float32 products accumulated left-to-right in
+        # float64, matching the C loop bit-for-bit
+        gc_bin = (qgc & formats.GC_BIN_MASK).astype(np.int64)
+        prod = (factors[gc_bin] * depth.astype(np.float32)).astype(np.float64)
+        half_mean = mean_depth / 2.0
+        rows = []
+        for (chrom, (b, e, ks, ke)) in zip(chroms_e, windows_e):
+            wd = float(np.add.reduceat(prod[ks:ke], [0])[0]) if ke > ks else 0.0
+            cn = wd / (ke - ks) / half_mean
+            rows.append((chrom, int(b), int(e), cn))
     formats.write_cn_bed(out_bed, rows)
     return {"mean_depth": mean_depth, "n_windows": len(rows),
             "factors": factors}

@@ -1,0 +1,69 @@
+"""Cohort batching + device est tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from quickmer2_tpu.config import SearchConfig
+from quickmer2_tpu.io import formats
+from quickmer2_tpu.pipelines import search as search_pipe
+from quickmer2_tpu.pipelines.cohort import run_cohort
+from quickmer2_tpu.pipelines.count import run_count
+from quickmer2_tpu.pipelines.est import run_est
+from tests import helpers
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    d = tmp_path_factory.mktemp("cohort")
+    chr1 = helpers.random_genome(rng, 25000)
+    fa = str(d / "g.fa")
+    helpers.write_fasta(fa, {"c1": chr1})
+    ctrl = str(d / "ctrl.bed")
+    with open(ctrl, "w") as f:
+        f.write("c1\t0\t25000\n")
+    search_pipe.run_search(
+        fa, SearchConfig(kmer_size=30, hash_size=1 << 16, edit_distance=0,
+                         window_size=100, control_bed=ctrl), verbose=False)
+    samples = []
+    for i in range(3):
+        reads = helpers.simulate_reads(np.random.default_rng(100 + i),
+                                       chr1, 2000 + 300 * i, 100)
+        p = str(d / f"s{i}.fq")
+        helpers.write_fastq(p, reads)
+        samples.append(p)
+    return {"dir": str(d), "fa": fa, "samples": samples}
+
+
+@pytest.mark.parametrize("mode", ["flat", "anchored"])
+def test_cohort_matches_individual(world, tmp_path, mode):
+    d = str(tmp_path)
+    pairs = [(s, os.path.join(d, f"c{i}")) for i, s in enumerate(world["samples"])]
+    stats = run_cohort(world["fa"] + ".qm", pairs, batch_bases=1 << 16,
+                       mode=mode, ref_fasta=world["fa"], verbose=False)
+    assert len(stats) == 3
+    for i, s in enumerate(world["samples"]):
+        out = os.path.join(d, f"i{i}")
+        run_count(world["fa"] + ".qm", s, out, batch_bases=1 << 16,
+                  verbose=False)
+        run_est(world["fa"], out, out + ".CN.bed", verbose=False)
+        np.testing.assert_array_equal(
+            formats.read_u16(os.path.join(d, f"c{i}.bin")),
+            formats.read_u16(out + ".bin"))
+        assert open(os.path.join(d, f"c{i}.CN.bed")).read() == \
+            open(out + ".CN.bed").read()
+
+
+def test_device_est_matches_host(world, tmp_path):
+    d = str(tmp_path)
+    out = os.path.join(d, "s")
+    run_count(world["fa"] + ".qm", world["samples"][0], out,
+              batch_bases=1 << 16, verbose=False)
+    run_est(world["fa"], out, out + ".host.bed", verbose=False, device=False)
+    run_est(world["fa"], out, out + ".dev.bed", verbose=False, device=True)
+    _, host = formats.read_cn_bed(out + ".host.bed")
+    _, dev = formats.read_cn_bed(out + ".dev.bed")
+    np.testing.assert_array_equal(host[:, :2], dev[:, :2])
+    np.testing.assert_allclose(dev[:, 2], host[:, 2], rtol=1e-4, atol=1e-4)
