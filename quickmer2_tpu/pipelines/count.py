@@ -206,6 +206,26 @@ class DepthCounter:
             self._pending, self._pending_len = [], 0
         return np.asarray(jax.device_get(self.depth))[:-1]
 
+    # -- checkpoint/resume (utils.checkpoint) --------------------------
+
+    def snapshot(self) -> dict:
+        """Device depth + residual host codes; with the stream offset and
+        parser state this fully determines the remaining computation."""
+        residual = np.concatenate([self._carry] + self._pending) \
+            if (self._pending_len or len(self._carry)) else np.zeros(0, np.uint8)
+        return {"depth": np.asarray(jax.device_get(self.depth)),
+                "residual": residual,
+                "windows": self.total_kmer_windows}
+
+    def restore(self, snap: dict) -> None:
+        self.depth = jnp.asarray(snap["depth"])
+        residual = snap["residual"]
+        # the first k-1 of the residual are the carry; re-split exactly
+        self._carry = np.zeros(0, np.uint8)
+        self._pending = [residual] if len(residual) else []
+        self._pending_len = len(residual)
+        self.total_kmer_windows = int(snap["windows"])
+
 
 def gc_curve_from_depth(depth_u16: np.ndarray, qgc: np.ndarray):
     """Control-k-mer depth-vs-GC curve (QuicKmer.c:498-542 semantics).
@@ -232,7 +252,9 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
               batch_bases: int = 1 << 24, fmt: str | None = None,
               chunk_bytes: int = 1 << 24, verbose: bool = True,
               mode: str = "flat", ref_fasta: str | None = None,
-              read_len: int | None = None) -> dict:
+              read_len: int | None = None,
+              checkpoint_path: str | None = None,
+              checkpoint_every_bytes: int = 1 << 30) -> dict:
     """Full count phase: .qm + reads → <out_prefix>.bin (+ .txt if the
     dictionary's .qgc companion exists). Returns summary stats.
 
@@ -255,13 +277,33 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
         counter = DepthCounter(dictionary, batch_bases=batch_bases)
     import sys
     stream = sys.stdin.buffer if sample_path == "-" else open(sample_path, "rb")
-    total_windows = 0
+    bytes_consumed = 0
+    next_ckpt = checkpoint_every_bytes
+    resumed = None
+    if checkpoint_path and mode == "flat" and sample_path != "-":
+        from quickmer2_tpu.utils import checkpoint as ckpt
+        resumed = ckpt.load(checkpoint_path)
     try:
-        first = stream.read(chunk_bytes)
-        # FASTQ autodetected by a leading '@' (QuicKmer.c:393); works for
-        # pipes too since we already hold the first chunk
-        fmt = fmt or ("fastq" if first[:1] == b"@" else "fasta-lines")
-        packer = make_packer(fmt)
+        if resumed is not None:
+            bytes_consumed, depth_snap, meta = resumed
+            stream.seek(bytes_consumed)
+            fmt = meta["fmt"]
+            packer = make_packer(fmt)
+            if hasattr(packer, "set_state"):
+                packer.set_state(meta["packer"])
+            counter.restore({"depth": depth_snap,
+                             "residual": np.array(meta["residual"], np.uint8),
+                             "windows": meta["windows"]})
+            next_ckpt = bytes_consumed + checkpoint_every_bytes
+            if verbose:
+                print(f"count: resumed at byte {bytes_consumed}")
+            first = stream.read(chunk_bytes)
+        else:
+            first = stream.read(chunk_bytes)
+            # FASTQ autodetected by a leading '@' (QuicKmer.c:393); works
+            # for pipes too since we already hold the first chunk
+            fmt = fmt or ("fastq" if first[:1] == b"@" else "fasta-lines")
+        packer = packer if resumed is not None else make_packer(fmt)
         data = first
         while data:
             codes = packer.feed(data)
@@ -278,6 +320,18 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
                     counter.feed_reads(rows)
             else:
                 counter.feed_codes(codes)
+            bytes_consumed += len(data)
+            if (checkpoint_path and mode == "flat" and sample_path != "-"
+                    and bytes_consumed >= next_ckpt):
+                from quickmer2_tpu.utils import checkpoint as ckpt
+                snap = counter.snapshot()
+                pk_state = packer.get_state() if hasattr(packer, "get_state") \
+                    else {}
+                ckpt.save(checkpoint_path, bytes_consumed, snap["depth"],
+                          extra={"fmt": fmt, "packer": pk_state,
+                                 "residual": snap["residual"].tolist(),
+                                 "windows": snap["windows"]})
+                next_ckpt += checkpoint_every_bytes
             data = stream.read(chunk_bytes)
         if mode == "anchored" and row_streamer is not None:
             tail_rows = row_streamer.finish()
@@ -287,6 +341,8 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
         if sample_path != "-":
             stream.close()
     depth = counter.finish()
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
     depth_u16 = (depth & 0xFFFF).astype(np.uint16)   # Q8 wrap parity
     formats.write_u16(out_prefix + ".bin", depth_u16)
 

@@ -158,3 +158,12 @@ class StreamPacker:
         n = lib.qm2_parse_chunk(ctypes.byref(self._st), _u8p(buf),
                                 ctypes.c_int64(len(buf)), _u8p(out))
         return out[:n]
+
+    def get_state(self) -> dict:
+        s = self._st
+        return {"mode": s.mode, "state": s.state, "seq_len": s.seq_len,
+                "qual_left": s.qual_left, "emitted_sep": s.emitted_sep}
+
+    def set_state(self, d: dict) -> None:
+        for k, v in d.items():
+            setattr(self._st, k, v)
