@@ -386,7 +386,8 @@ class AnchoredDepthCounter:
 
     def __init__(self, index: AnchoredIndex, k: int, read_len: int,
                  batch_reads: int = 1 << 15, max_runs: int = 4,
-                 max_dirty: int = 0,
+                 max_dirty: int = 0, tier2_max_dirty: int = 48,
+                 tier2_max_runs: int = 6,
                  anchor_offsets: tuple | None = None):
         self.index = index
         self.k = k
@@ -394,6 +395,11 @@ class AnchoredDepthCounter:
         self.batch_reads = batch_reads
         self.max_runs = max_runs
         self.max_dirty = max_dirty
+        # tier 2: spilled reads re-run the anchored kernel with a dirty
+        # budget large enough to absorb ~1 sequencing error (k dirty
+        # k-mers); only multi-error/unanchorable reads pay the exact path
+        self.tier2_max_dirty = tier2_max_dirty
+        self.tier2_max_runs = tier2_max_runs
         W = read_len - k + 1
         if anchor_offsets is None:
             anchor_offsets = tuple(
@@ -404,8 +410,11 @@ class AnchoredDepthCounter:
         self._pending_rows = 0
         self._spill: list[np.ndarray] = []
         self._spill_rows = 0
+        self._spill2: list[np.ndarray] = []
+        self._spill2_rows = 0
         self.n_reads = 0
         self.n_spilled = 0
+        self.n_spilled2 = 0
 
     def feed_reads(self, reads_rows: np.ndarray) -> None:
         """reads_rows: u8[R, read_len] code rows (SEP-padded)."""
@@ -436,6 +445,25 @@ class AnchoredDepthCounter:
                 buf = np.concatenate(self._spill)
                 self._spill = [buf[self.batch_reads:]]
                 self._spill_rows = len(self._spill[0])
+                self._run_tier2(buf[: self.batch_reads])
+
+    def _run_tier2(self, batch: np.ndarray) -> None:
+        ix = self.index
+        reads = jnp.asarray(batch)
+        self.diff, spilled = anchored_count_batch(
+            reads, ix.rows, ix.genome_tiles, ix.dblock, self.diff,
+            None, k=self.k, read_len=self.read_len, n_buckets=ix.n_buckets,
+            anchor_offsets=self.anchor_offsets, max_runs=self.tier2_max_runs,
+            max_dirty=self.tier2_max_dirty)
+        sp = np.asarray(spilled)
+        if sp.any():
+            self.n_spilled2 += int(sp.sum())
+            self._spill2.append(batch[sp])
+            self._spill2_rows += int(sp.sum())
+            while self._spill2_rows >= self.batch_reads:
+                buf = np.concatenate(self._spill2)
+                self._spill2 = [buf[self.batch_reads:]]
+                self._spill2_rows = len(self._spill2[0])
                 self._run_exact(buf[: self.batch_reads])
 
     def _run_exact(self, batch: np.ndarray) -> None:
@@ -461,8 +489,17 @@ class AnchoredDepthCounter:
                 buf = np.concatenate(
                     [buf, np.full((pad_rows, self.read_len), codec.SEP, np.uint8)])
             for off in range(0, len(buf), self.batch_reads):
-                self._run_exact(buf[off: off + self.batch_reads])
+                self._run_tier2(buf[off: off + self.batch_reads])
             self._spill, self._spill_rows = [], 0
+        if self._spill2_rows:
+            buf = np.concatenate(self._spill2)
+            pad_rows = (-len(buf)) % self.batch_reads
+            if pad_rows:
+                buf = np.concatenate(
+                    [buf, np.full((pad_rows, self.read_len), codec.SEP, np.uint8)])
+            for off in range(0, len(buf), self.batch_reads):
+                self._run_exact(buf[off: off + self.batch_reads])
+            self._spill2, self._spill2_rows = [], 0
         diff = np.asarray(jax.device_get(self.diff)).astype(np.uint32)
         depth = np.cumsum(diff, dtype=np.uint32)[: self.index.n_kmers]
         return depth
