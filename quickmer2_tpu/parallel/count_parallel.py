@@ -1,5 +1,6 @@
 """Multi-device count: data-parallel read shards x dictionary-sharded
-probe table, composed with shard_map over a ("data", "dict") Mesh.
+packed probe table, composed with shard_map over a ("data", "dict")
+Mesh.
 
 Architecture (no reference counterpart — the reference is single-host
 pthreads; this is the communication backend SURVEY.md section 5 calls
@@ -8,18 +9,15 @@ for):
   * the host splits each code batch into `dp` chunks overlapping by
     k-1 codes (no window lost at shard boundaries, mirroring the
     single-device carry);
-  * the probe table and rank map are split into `ds` contiguous slot
-    blocks, each padded with a halo on both sides; probes walk toward
-    the table middle (bidirectional rule), so any probe that starts in
-    a core block stays within core+halo for cluster lengths < halo;
-  * inside shard_map every device receives its data chunk (broadcast
-    along "dict") and its table block (broadcast along "data"),
-    processes only the lanes whose home slot is in its core block, and
-    scatter-adds into a private dense depth partial;
+  * the packed two-choice bucket table (ops.packed_table) is split
+    into `ds` contiguous bucket blocks — buckets are self-contained
+    (unlike linear-probe slots), so NO halo is needed: a device probes
+    the lanes whose h1 or h2 bucket falls in its block, and a key's
+    row lives on exactly one device, so each hit is counted once;
   * partials live as depth[dp, ds, n+1] sharded P("data", "dict");
-    the final merge is one jnp.sum over the device axes — XLA lowers
+    the final merge is one reduction over the device axes — XLA lowers
     it to an all-reduce over ICI (the psum analog of the reference's
-    atomic u16 adds).
+    atomic u16 adds, QuicKmer.c:290-291).
 
 Determinism: scatter-add on TPU is deterministic, shard boundaries are
 static, and the final reduction has a fixed order — identical .bin
@@ -27,8 +25,6 @@ across runs and mesh shapes (verified in tests/test_parallel.py).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -39,38 +35,12 @@ from quickmer2_tpu.dictionary import Dictionary
 from quickmer2_tpu.ops import codec
 from quickmer2_tpu.ops.codec import SEP
 from quickmer2_tpu.ops.hash import djb_pair
-
-DEFAULT_HALO = 4096
-
-
-def shard_table(dic: Dictionary, ds: int, halo: int = DEFAULT_HALO):
-    """Split table+rank into ds contiguous blocks with two-sided halo.
-
-    Returns (thi[ds, L], tlo[ds, L], rank[ds, L], block) with
-    L = block + 2*halo; out-of-range halo regions are empty slots with
-    sentinel rank (safe: probes terminate on empty)."""
-    h = dic.hash_size
-    assert h % ds == 0, "hash_size must divide by dict shards"
-    block = h // ds
-    thi_full, tlo_full, rank_full = dic.device_arrays()
-    L = block + 2 * halo
-    thi = np.zeros((ds, L), np.uint32)
-    tlo = np.zeros((ds, L), np.uint32)
-    rank = np.full((ds, L), dic.n_kmers, np.int32)
-    for i in range(ds):
-        lo = i * block - halo
-        hi = (i + 1) * block + halo
-        src_lo, src_hi = max(lo, 0), min(hi, h)
-        dst_lo = src_lo - lo
-        thi[i, dst_lo : dst_lo + src_hi - src_lo] = thi_full[src_lo:src_hi]
-        tlo[i, dst_lo : dst_lo + src_hi - src_lo] = tlo_full[src_lo:src_hi]
-        rank[i, dst_lo : dst_lo + src_hi - src_lo] = rank_full[src_lo:src_hi]
-    return thi, tlo, rank, block
+from quickmer2_tpu.ops.packed_table import (
+    ENTRIES_PER_BUCKET, PackedTable, bucket_hashes_jnp)
 
 
 def split_codes_overlap(batch: np.ndarray, dp: int, k: int) -> np.ndarray:
-    """Split a code batch into dp chunks with k-1 overlap → [dp, chunk].
-    len(batch) must be dp*c for c = ceil(len/dp); pad with SEP first."""
+    """Split a code batch into dp chunks with k-1 overlap → [dp, chunk]."""
     n = len(batch)
     chunk = -(-n // dp)
     padded = np.full(dp * chunk + (k - 1), SEP, np.uint8)
@@ -81,89 +51,73 @@ def split_codes_overlap(batch: np.ndarray, dp: int, k: int) -> np.ndarray:
     return out
 
 
-def make_sharded_count_step(mesh: Mesh, k: int, hash_size: int, block: int,
-                            halo: int, n_kmers: int, max_steps: int = 512):
-    """Build the jitted sharded count step.
+def make_sharded_count_step(mesh: Mesh, k: int, n_buckets: int,
+                            block_buckets: int, n_kmers: int):
+    """Jitted sharded count step over packed bucket blocks.
 
-    Signature: step(codes[dp, C], thi[ds, L], tlo[ds, L], rank[ds, L],
-                    depth[dp, ds, n+1]) -> depth
+    step(codes[dp, C], rows[ds, Bb, 16], depth[dp, ds, n+1]) -> depth
     """
-    dp = mesh.shape["data"]
-    ds = mesh.shape["dict"]
 
-    def local_step(codes, thi, tlo, rank, depth):
-        # codes [1, C]; thi/tlo/rank [1, L]; depth [1, 1, n+1]
+    def local_step(codes, rows, depth):
         codes = codes[0]
-        thi, tlo, rank = thi[0], tlo[0], rank[0]
-        my_dict = jax.lax.axis_index("dict")
-        block_lo = my_dict.astype(jnp.uint32) * jnp.uint32(block)
+        rows = rows[0]            # (Bb, 16)
+        my = jax.lax.axis_index("dict")
+        blk_lo = (my * block_buckets).astype(jnp.uint32)
 
         chi, clo, valid = codec.sliding_kmers(codes, k)
-        idx0 = djb_pair(chi, clo) & jnp.uint32(hash_size - 1)
-        mine = valid & (idx0 - block_lo < jnp.uint32(block))
-        step_dir = jnp.where(idx0 & jnp.uint32(hash_size >> 1), -1, 1).astype(jnp.int32)
-        # local index into the haloed block; foreign lanes wrap in u32 and
-        # clamp to `block` (a valid in-array index, masked by `mine`)
-        off = jnp.minimum(idx0 - block_lo, jnp.uint32(block))
-        idx = off.astype(jnp.int32) + halo
+        nonzero_q = (chi | clo) != 0
+        h = djb_pair(chi, clo)
+        i1, i2 = bucket_hashes_jnp(h, n_buckets)
 
-        def probe_once(idx):
-            ehi = thi[idx]
-            elo = tlo[idx]
-            return (ehi == chi) & (elo == clo), (ehi == 0) & (elo == 0)
-
-        def cond(state):
-            _, done, it = state
-            return (~jnp.all(done)) & (it < max_steps)
-
-        def body(state):
-            idx, done, it = state
-            idx = jnp.where(done, idx, idx + step_dir)
-            match, empty = probe_once(idx)
-            done = done | match | empty
-            return idx, done, it + 1
-
-        match0, empty0 = probe_once(idx)
-        done0 = (~mine) | match0 | empty0
-        idx, _, _ = jax.lax.while_loop(cond, body, (idx, done0, jnp.int32(0)))
-        r = jnp.where(mine, rank[idx], jnp.int32(n_kmers))
-        new_depth = depth[0, 0].at[r].add(1, mode="promise_in_bounds")
+        trash = depth.shape[-1] - 1
+        found = jnp.zeros(chi.shape, bool)
+        rank = jnp.full(chi.shape, jnp.uint32(trash), jnp.uint32)
+        for cand in (i1, i2):
+            off = cand - blk_lo           # u32 wrap for foreign lanes
+            local = off < jnp.uint32(block_buckets)
+            idx = jnp.where(local, off, 0).astype(jnp.int32)
+            r = rows[idx]
+            for e in range(ENTRIES_PER_BUCKET):
+                m = local & nonzero_q & (r[:, 4 * e] == chi) \
+                    & (r[:, 4 * e + 1] == clo)
+                found = found | m
+                rank = jnp.where(m, r[:, 4 * e + 2], rank)
+        point = jnp.where(found & valid, rank, jnp.uint32(trash)).astype(jnp.int32)
+        new_depth = depth[0, 0].at[point].add(1, mode="promise_in_bounds")
         return new_depth[None, None]
 
     smapped = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("data", None), P("dict", None), P("dict", None),
-                  P("dict", None), P("data", "dict", None)),
+        in_specs=(P("data", None), P("dict", None, None),
+                  P("data", "dict", None)),
         out_specs=P("data", "dict", None))
-    return jax.jit(smapped, donate_argnums=(4,))
+    return jax.jit(smapped, donate_argnums=(2,))
 
 
 class ShardedDepthCounter:
-    """Multi-device DepthCounter: same feed/finish interface as the
-    single-device version, device placement via NamedSharding."""
+    """Multi-device DepthCounter over the packed table; same
+    feed/finish interface as the single-device version."""
 
     def __init__(self, dictionary: Dictionary, mesh: Mesh,
-                 batch_bases: int = 1 << 24, halo: int = DEFAULT_HALO):
+                 batch_bases: int = 1 << 24):
         self.dict = dictionary
         self.mesh = mesh
         self.k = dictionary.kmer_size
         self.batch_bases = batch_bases
         self.dp = mesh.shape["data"]
         self.ds = mesh.shape["dict"]
-        halo = min(halo, dictionary.hash_size // self.ds)
-        self.halo = halo
-        thi, tlo, rank, block = shard_table(dictionary, self.ds, halo)
-        sh_dict = NamedSharding(mesh, P("dict", None))
-        self.table_hi = jax.device_put(thi, sh_dict)
-        self.table_lo = jax.device_put(tlo, sh_dict)
-        self.rank = jax.device_put(rank, sh_dict)
-        self.block = block
+        packed = PackedTable.from_dictionary(dictionary)
+        assert packed.n_buckets % self.ds == 0
+        bb = packed.n_buckets // self.ds
+        rows = packed.rows.reshape(self.ds, bb, 4 * ENTRIES_PER_BUCKET)
+        self.rows = jax.device_put(rows, NamedSharding(mesh, P("dict", None, None)))
+        self.block_buckets = bb
         n = dictionary.n_kmers
         self.depth = jax.device_put(
             np.zeros((self.dp, self.ds, n + 1), np.uint32),
             NamedSharding(mesh, P("data", "dict", None)))
         self._step = make_sharded_count_step(
-            mesh, self.k, dictionary.hash_size, block, halo, n)
+            mesh, self.k, packed.n_buckets, bb, n)
         self._sh_data = NamedSharding(mesh, P("data", None))
         self._carry = np.zeros(0, np.uint8)
         self._pending: list[np.ndarray] = []
@@ -181,8 +135,7 @@ class ShardedDepthCounter:
     def _run(self, batch: np.ndarray) -> None:
         shards = split_codes_overlap(batch, self.dp, self.k)
         codes = jax.device_put(shards, self._sh_data)
-        self.depth = self._step(codes, self.table_hi, self.table_lo,
-                                self.rank, self.depth)
+        self.depth = self._step(codes, self.rows, self.depth)
         self._carry = batch[-(self.k - 1):].copy()
 
     def finish(self) -> np.ndarray:

@@ -46,8 +46,7 @@ def test_eight_devices_available():
 @pytest.mark.parametrize("dp,ds", [(8, 1), (1, 8), (4, 2), (2, 4)])
 def test_sharded_count_matches_single_device(setup, single_device_depth, dp, ds):
     mesh = make_mesh(dp, ds)
-    c = ShardedDepthCounter(setup["dict"], mesh, batch_bases=1 << 16,
-                            halo=1 << 12)
+    c = ShardedDepthCounter(setup["dict"], mesh, batch_bases=1 << 16)
     c.feed_codes(setup["codes"])
     depth = c.finish()
     np.testing.assert_array_equal(depth, single_device_depth)
