@@ -133,7 +133,6 @@ def main():
         return many, spill
 
     anchored_many, spill_frac = make_tier(4, 0)
-    tier2_many, tier2_spill = make_tier(6, 48)
 
     @jax.jit
     def exact_many(reads, rows, diff):
@@ -154,7 +153,6 @@ def main():
 
     windows_per_iter = N_READS * W
     sp1 = float(np.asarray(spill_frac(reads_d, rows_d, tiles_d, dblock_d, diff0)))
-    sp2 = float(np.asarray(tier2_spill(reads_d, rows_d, tiles_d, dblock_d, diff0)))
 
     t_exact = honest_time(exact_many, reads_d, rows_d, diff0, lat=lat)
     exact_rate = windows_per_iter * ITERS / t_exact
@@ -163,18 +161,13 @@ def main():
 
     t_anch = honest_time(anchored_many, reads_d, rows_d, tiles_d, dblock_d,
                          diff0, lat=lat)
-    t_tier2 = honest_time(tier2_many, reads_d, rows_d, tiles_d, dblock_d,
-                          diff0, lat=lat)
-    # three-tier effective throughput: tier1 on everything, tier2 on the
-    # spilled fraction, exact on what still spills (tier rates measured
-    # on full batches; spill batches are dense, so per-read cost holds)
-    t_total = t_anch + sp1 * t_tier2 + sp2 * t_exact
+    # two-tier effective throughput: anchored on everything, exact on the
+    # spilled fraction (spill batches are dense, so per-read cost holds)
+    t_total = t_anch + sp1 * t_exact
     rate = windows_per_iter * ITERS / t_total
-    print(f"# tier1 {windows_per_iter*ITERS/t_anch/1e6:.1f} M kmers/s "
-          f"(spill {sp1*100:.1f}%), tier2 "
-          f"{windows_per_iter*ITERS/t_tier2/1e6:.1f} M kmers/s "
-          f"(residual spill {sp2*100:.1f}%) → effective {rate/1e6:.1f} M "
-          f"kmers/s", file=sys.stderr)
+    print(f"# anchored {windows_per_iter*ITERS/t_anch/1e6:.1f} M kmers/s "
+          f"(spill {sp1*100:.1f}% at {ERROR_RATE*100:.1f}%/bp errors) → "
+          f"effective {rate/1e6:.1f} M kmers/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "count_kmers_per_s_per_chip",

@@ -386,7 +386,7 @@ class AnchoredDepthCounter:
 
     def __init__(self, index: AnchoredIndex, k: int, read_len: int,
                  batch_reads: int = 1 << 15, max_runs: int = 4,
-                 max_dirty: int = 0, tier2_max_dirty: int = 48,
+                 max_dirty: int = 0, tier2_max_dirty: int = 0,
                  tier2_max_runs: int = 6,
                  anchor_offsets: tuple | None = None):
         self.index = index
@@ -395,9 +395,12 @@ class AnchoredDepthCounter:
         self.batch_reads = batch_reads
         self.max_runs = max_runs
         self.max_dirty = max_dirty
-        # tier 2: spilled reads re-run the anchored kernel with a dirty
-        # budget large enough to absorb ~1 sequencing error (k dirty
-        # k-mers); only multi-error/unanchorable reads pay the exact path
+        # tier 2 (optional, default off): spilled reads re-run the
+        # anchored kernel with a dirty budget before falling back to the
+        # exact path. Measured on v5e this is NOT cheaper than the exact
+        # path for interior errors (one substitution dirties ~k k-mers,
+        # and the budgeted probe + extraction costs as much as probing
+        # all windows), so the default routes spills straight to exact.
         self.tier2_max_dirty = tier2_max_dirty
         self.tier2_max_runs = tier2_max_runs
         W = read_len - k + 1
@@ -448,6 +451,9 @@ class AnchoredDepthCounter:
                 self._run_tier2(buf[: self.batch_reads])
 
     def _run_tier2(self, batch: np.ndarray) -> None:
+        if self.tier2_max_dirty == 0:
+            self._run_exact(batch)
+            return
         ix = self.index
         reads = jnp.asarray(batch)
         self.diff, spilled = anchored_count_batch(
