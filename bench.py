@@ -110,29 +110,29 @@ def main():
     W = READ_LEN - K + 1
     anchor_offsets = (0, W // 3, (2 * W) // 3, W - 1)
 
-    def make_tier(max_runs, max_dirty):
+    def make_tier(max_runs, max_dirty, dirty_runs=0, run_width=0):
+        kw = dict(k=K, read_len=READ_LEN, n_buckets=table.n_buckets,
+                  anchor_offsets=anchor_offsets, max_runs=max_runs,
+                  max_dirty=max_dirty, max_dirty_runs=dirty_runs,
+                  dirty_run_width=run_width)
+
         @jax.jit
         def many(reads, rows, tiles, dblock, diff):
             def body(i, diff):
                 diff, _ = anchored_count_kernel(
-                    reads, rows, tiles, dblock, diff, None, k=K,
-                    read_len=READ_LEN, n_buckets=table.n_buckets,
-                    anchor_offsets=anchor_offsets, max_runs=max_runs,
-                    max_dirty=max_dirty)
+                    reads, rows, tiles, dblock, diff, None, **kw)
                 return diff
             return jax.lax.fori_loop(0, ITERS, body, diff)[:8]
 
         @jax.jit
         def spill(reads, rows, tiles, dblock, diff):
             _, spilled = anchored_count_kernel(
-                reads, rows, tiles, dblock, diff, None, k=K,
-                read_len=READ_LEN, n_buckets=table.n_buckets,
-                anchor_offsets=anchor_offsets, max_runs=max_runs,
-                max_dirty=max_dirty)
+                reads, rows, tiles, dblock, diff, None, **kw)
             return jnp.mean(spilled.astype(jnp.float32))
         return many, spill
 
     anchored_many, spill_frac = make_tier(4, 0)
+    tier2_many, tier2_spill = make_tier(6, 0, dirty_runs=2, run_width=32)
 
     @jax.jit
     def exact_many(reads, rows, diff):
@@ -153,6 +153,7 @@ def main():
 
     windows_per_iter = N_READS * W
     sp1 = float(np.asarray(spill_frac(reads_d, rows_d, tiles_d, dblock_d, diff0)))
+    sp2 = float(np.asarray(tier2_spill(reads_d, rows_d, tiles_d, dblock_d, diff0)))
 
     t_exact = honest_time(exact_many, reads_d, rows_d, diff0, lat=lat)
     exact_rate = windows_per_iter * ITERS / t_exact
@@ -161,13 +162,18 @@ def main():
 
     t_anch = honest_time(anchored_many, reads_d, rows_d, tiles_d, dblock_d,
                          diff0, lat=lat)
-    # two-tier effective throughput: anchored on everything, exact on the
-    # spilled fraction (spill batches are dense, so per-read cost holds)
-    t_total = t_anch + sp1 * t_exact
+    t_tier2 = honest_time(tier2_many, reads_d, rows_d, tiles_d, dblock_d,
+                          diff0, lat=lat)
+    # three-tier effective throughput: tier1 on everything, run-sliced
+    # tier2 on the spilled fraction, exact on the residual (spill
+    # batches are dense, so per-read cost holds)
+    t_total = t_anch + sp1 * t_tier2 + sp2 * t_exact
     rate = windows_per_iter * ITERS / t_total
-    print(f"# anchored {windows_per_iter*ITERS/t_anch/1e6:.1f} M kmers/s "
-          f"(spill {sp1*100:.1f}% at {ERROR_RATE*100:.1f}%/bp errors) → "
-          f"effective {rate/1e6:.1f} M kmers/s", file=sys.stderr)
+    print(f"# tier1 {windows_per_iter*ITERS/t_anch/1e6:.1f} M kmers/s "
+          f"(spill {sp1*100:.1f}% at {ERROR_RATE*100:.1f}%/bp), "
+          f"tier2-sliced {windows_per_iter*ITERS/t_tier2/1e6:.1f} M kmers/s "
+          f"(residual {sp2*100:.1f}%) → effective {rate/1e6:.1f} M kmers/s",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "count_kmers_per_s_per_chip",

@@ -201,7 +201,8 @@ def fetch_genome_window(genome_tiles, start, width: int):
 def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
                           *, k: int, read_len: int, n_buckets: int,
                           anchor_offsets: tuple = (0, 30, 60, 91),
-                          max_runs: int = 4, max_dirty: int = 8):
+                          max_runs: int = 4, max_dirty: int = 8,
+                          max_dirty_runs: int = 0, dirty_run_width: int = 0):
     """Process one batch of fixed-length reads.
 
     reads: u8[R, read_len] code rows (SEP-padded). diff: u32[n_kmers+2]
@@ -281,8 +282,36 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
 
     # spill decided BEFORE any accumulation so spilled reads contribute
     # nothing here (the caller reruns them on the exact per-k-mer path)
-    spilled = (~a_found & jnp.any(valid, axis=1)) \
-        | (n_runs > max_runs) | (n_dirty > max_dirty)
+    jidx0 = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    if dirty_run_width > 0:
+        # run-sliced dirty handling: extract up to max_dirty_runs
+        # contiguous dirty runs; a read is covered iff every run fits in
+        # dirty_run_width windows
+        dprev = jnp.pad(dirty[:, :-1], ((0, 0), (1, 0)))
+        dnxt = jnp.pad(dirty[:, 1:], ((0, 0), (0, 1)))
+        d_start_m = dirty & ~dprev
+        d_end_m = dirty & ~dnxt
+        n_dirty_runs = jnp.sum(d_start_m, axis=1)
+        d_starts = jnp.full((R, max_dirty_runs), -1, jnp.int32)
+        d_ends = jnp.full((R, max_dirty_runs), -1, jnp.int32)
+        sm, em = d_start_m, d_end_m
+        for m in range(max_dirty_runs):
+            s = jnp.min(jnp.where(sm, jidx0, W), axis=1)
+            e = jnp.min(jnp.where(em & (jidx0 >= s[:, None]), jidx0, W), axis=1)
+            got = s < W
+            d_starts = d_starts.at[:, m].set(jnp.where(got, s, -1))
+            d_ends = d_ends.at[:, m].set(jnp.where(got, e, -1))
+            sm = sm & (jidx0 > s[:, None])
+            em = em & (jidx0 > e[:, None])
+        widths_ok = jnp.all(
+            jnp.where(d_starts >= 0, d_ends - d_starts < dirty_run_width, True),
+            axis=1)
+        covered = (n_dirty_runs <= max_dirty_runs) & widths_ok
+        spilled = (~a_found & jnp.any(valid, axis=1)) \
+            | (n_runs > max_runs) | ~covered
+    else:
+        spilled = (~a_found & jnp.any(valid, axis=1)) \
+            | (n_runs > max_runs) | (n_dirty > max_dirty)
     active = ~spilled
 
     # --- clean runs → range-adds --------------------------------------
@@ -321,24 +350,55 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
         jnp.uint32(0) - 1, mode="promise_in_bounds")
 
     # --- dirty k-mers → exact probes ----------------------------------
-    dm = dirty & active[:, None]
-    d_rank = jnp.full((R, max_dirty), trash, jnp.int32)
-    for m in range(max_dirty):
-        j = jnp.min(jnp.where(dm, jidx, W), axis=1)
-        got = j < W
-        jc = jnp.minimum(j, W - 1)
-        dhi = jnp.take_along_axis(chi, jc[:, None], axis=1)[:, 0]
-        dlo = jnp.take_along_axis(clo, jc[:, None], axis=1)[:, 0]
-        f, r, _ = probe_packed(rows, dhi, dlo, n_buckets, jnp.uint32(trash))
-        d_rank = d_rank.at[:, m].set(
-            jnp.where(got & f, r.astype(jnp.int32), trash))
-        dm = dm & (jidx > j[:, None])
-    # dirty contributions as width-1 range adds: diff[r]+=1, diff[r+1]-=1
-    dr = d_rank.reshape(-1)
-    point = jnp.minimum(dr, trash)
-    diff = diff.at[point].add(1, mode="promise_in_bounds")
-    diff = diff.at[jnp.minimum(point + 1, trash)].add(
-        jnp.uint32(0) - 1, mode="promise_in_bounds")
+    if dirty_run_width > 0:
+        # run-sliced: align each dirty run's windows to lane 0 via
+        # log-shift rolls (elementwise), probe a dense (R, DW) slab
+        P = 1
+        while P < W:
+            P <<= 1
+        chi_p = jnp.pad(chi, ((0, 0), (0, P - W)))
+        clo_p = jnp.pad(clo, ((0, 0), (0, P - W)))
+        off_l = jax.lax.broadcasted_iota(jnp.int32, (R, dirty_run_width), 1)
+        for m in range(max_dirty_runs):
+            s = d_starts[:, m]
+            exists = (s >= 0) & active
+            sc = jnp.maximum(s, 0)
+            ahi, alo = chi_p, clo_p
+            b = P >> 1
+            while b:
+                take = (sc & b) != 0
+                ahi = jnp.where(take[:, None], jnp.roll(ahi, -b, axis=1), ahi)
+                alo = jnp.where(take[:, None], jnp.roll(alo, -b, axis=1), alo)
+                b >>= 1
+            ahi = ahi[:, :dirty_run_width]
+            alo = alo[:, :dirty_run_width]
+            lane_ok = exists[:, None] & (off_l <= (d_ends[:, m] - sc)[:, None])
+            f, r, _ = probe_packed(rows, ahi.reshape(-1), alo.reshape(-1),
+                                   n_buckets, jnp.uint32(trash))
+            point = jnp.where(lane_ok.reshape(-1) & f,
+                              r.astype(jnp.int32), trash)
+            diff = diff.at[point].add(1, mode="promise_in_bounds")
+            diff = diff.at[jnp.minimum(point + 1, trash)].add(
+                jnp.uint32(0) - 1, mode="promise_in_bounds")
+    else:
+        dm = dirty & active[:, None]
+        d_rank = jnp.full((R, max_dirty), trash, jnp.int32)
+        for m in range(max_dirty):
+            j = jnp.min(jnp.where(dm, jidx, W), axis=1)
+            got = j < W
+            jc = jnp.minimum(j, W - 1)
+            dhi = jnp.take_along_axis(chi, jc[:, None], axis=1)[:, 0]
+            dlo = jnp.take_along_axis(clo, jc[:, None], axis=1)[:, 0]
+            f, r, _ = probe_packed(rows, dhi, dlo, n_buckets, jnp.uint32(trash))
+            d_rank = d_rank.at[:, m].set(
+                jnp.where(got & f, r.astype(jnp.int32), trash))
+            dm = dm & (jidx > j[:, None])
+        # dirty contributions as width-1 range adds: diff[r]+=1, diff[r+1]-=1
+        dr = d_rank.reshape(-1)
+        point = jnp.minimum(dr, trash)
+        diff = diff.at[point].add(1, mode="promise_in_bounds")
+        diff = diff.at[jnp.minimum(point + 1, trash)].add(
+            jnp.uint32(0) - 1, mode="promise_in_bounds")
 
     return diff, spilled
 
@@ -346,7 +406,8 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
 anchored_count_batch = jax.jit(
     anchored_count_kernel,
     static_argnames=("k", "read_len", "n_buckets", "anchor_offsets",
-                     "max_runs", "max_dirty"))
+                     "max_runs", "max_dirty", "max_dirty_runs",
+                     "dirty_run_width"))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
@@ -387,7 +448,8 @@ class AnchoredDepthCounter:
     def __init__(self, index: AnchoredIndex, k: int, read_len: int,
                  batch_reads: int = 1 << 15, max_runs: int = 4,
                  max_dirty: int = 0, tier2_max_dirty: int = 0,
-                 tier2_max_runs: int = 6,
+                 tier2_max_runs: int = 6, tier2_dirty_runs: int = 2,
+                 tier2_run_width: int = 32,
                  anchor_offsets: tuple | None = None):
         self.index = index
         self.k = k
@@ -395,14 +457,17 @@ class AnchoredDepthCounter:
         self.batch_reads = batch_reads
         self.max_runs = max_runs
         self.max_dirty = max_dirty
-        # tier 2 (optional, default off): spilled reads re-run the
-        # anchored kernel with a dirty budget before falling back to the
-        # exact path. Measured on v5e this is NOT cheaper than the exact
-        # path for interior errors (one substitution dirties ~k k-mers,
-        # and the budgeted probe + extraction costs as much as probing
-        # all windows), so the default routes spills straight to exact.
+        # tier 2: spilled reads re-run the anchored kernel in RUN-SLICED
+        # dirty mode — clean fragments still count via range-adds and
+        # each dirty run (<= tier2_run_width windows around an error) is
+        # probed as one dense aligned slab; only reads exceeding those
+        # caps (multi-error clusters, unanchorable) pay the exact path.
+        # (The per-k-mer max_dirty budget variant measured no cheaper
+        # than exact on v5e and is off by default.)
         self.tier2_max_dirty = tier2_max_dirty
         self.tier2_max_runs = tier2_max_runs
+        self.tier2_dirty_runs = tier2_dirty_runs
+        self.tier2_run_width = tier2_run_width
         W = read_len - k + 1
         if anchor_offsets is None:
             anchor_offsets = tuple(
@@ -451,7 +516,7 @@ class AnchoredDepthCounter:
                 self._run_tier2(buf[: self.batch_reads])
 
     def _run_tier2(self, batch: np.ndarray) -> None:
-        if self.tier2_max_dirty == 0:
+        if self.tier2_run_width == 0 and self.tier2_max_dirty == 0:
             self._run_exact(batch)
             return
         ix = self.index
@@ -460,7 +525,9 @@ class AnchoredDepthCounter:
             reads, ix.rows, ix.genome_tiles, ix.dblock, self.diff,
             None, k=self.k, read_len=self.read_len, n_buckets=ix.n_buckets,
             anchor_offsets=self.anchor_offsets, max_runs=self.tier2_max_runs,
-            max_dirty=self.tier2_max_dirty)
+            max_dirty=self.tier2_max_dirty,
+            max_dirty_runs=self.tier2_dirty_runs,
+            dirty_run_width=self.tier2_run_width)
         sp = np.asarray(spilled)
         if sp.any():
             self.n_spilled2 += int(sp.sum())
