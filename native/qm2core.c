@@ -162,6 +162,13 @@ static const uint8_t BASE_LUT[256] = {
 };
 /* (code stored +1: A=1,C=2,T=3,G=4 → emit value-1; table rows default 0) */
 
+/* branchless direct code table: 0-3 bases, 4 for anything else */
+static uint8_t CODE_LUT[256];
+__attribute__((constructor)) static void init_code_lut(void) {
+    for (int c = 0; c < 256; c++)
+        CODE_LUT[c] = BASE_LUT[c] ? (uint8_t)(BASE_LUT[c] - 1) : 4;
+}
+
 void qm2_parse_init(qm2_parse_state *st, int32_t mode) {
     memset(st, 0, sizeof(*st));
     st->mode = mode;
@@ -190,13 +197,13 @@ int64_t qm2_parse_chunk(qm2_parse_state *st, const uint8_t *buf, int64_t len,
                 st->qual_left = st->seq_len;
             } else {
                 st->state = ST_SEQ;
-                goto seq_byte;
+                i--;  /* reprocess this byte in the bulk ST_SEQ path */
             }
             break;
         case ST_HEADER:
             if (c == '\n') st->state = fastq ? ST_SEQ : ST_LINE_START;
             break;
-        case ST_SEQ:
+        case ST_SEQ: {
             if (c == '\n') {
                 st->state = ST_LINE_START; /* fastq next: more seq, or '+' */
                 if (per_line_sep && !st->emitted_sep) {
@@ -204,15 +211,17 @@ int64_t qm2_parse_chunk(qm2_parse_state *st, const uint8_t *buf, int64_t len,
                 }
                 break;
             }
-        seq_byte: {
-            uint8_t v = BASE_LUT[c];
-            if (v) {
-                out[o++] = (uint8_t)(v - 1);
-                st->emitted_sep = 0;
-            } else if (!st->emitted_sep) {
-                out[o++] = 4; st->emitted_sep = 1;
-            }
-            if (fastq) st->seq_len++;
+            /* bulk path: branchless translate of the whole line (one
+             * code per byte; invalid bases emit 4 — adjacent 4s are
+             * harmless since any window containing one is invalid) */
+            const uint8_t *nl = memchr(buf + i, '\n', len - i);
+            int64_t end = nl ? (int64_t)(nl - buf) : len;
+            for (int64_t j = i; j < end; j++)
+                out[o++] = CODE_LUT[buf[j]];
+            if (end > i)
+                st->emitted_sep = (CODE_LUT[buf[end - 1]] == 4);
+            if (fastq) st->seq_len += end - i;
+            i = end - 1;  /* loop increment lands on the newline (or len) */
             break;
         }
         case ST_PLUS:
@@ -224,13 +233,18 @@ int64_t qm2_parse_chunk(qm2_parse_state *st, const uint8_t *buf, int64_t len,
         case ST_QUAL: {
             /* skip exactly seq_len quality bytes; '@' inside quality is
              * safe because we count bytes, not sentinels. Newlines are
-             * not counted toward the quality length. */
-            int64_t counted = 0, j = i;
-            while (counted < st->qual_left && j < len) {
-                if (buf[j] != '\n') counted++;
-                j++;
+             * not counted toward the quality length. Bulk-skips spans
+             * between newlines via memchr. */
+            int64_t j = i;
+            while (st->qual_left > 0 && j < len) {
+                if (buf[j] == '\n') { j++; continue; }
+                const uint8_t *nl = memchr(buf + j, '\n', len - j);
+                int64_t end = nl ? (int64_t)(nl - buf) : len;
+                int64_t take = end - j;
+                if (take > st->qual_left) take = st->qual_left;
+                st->qual_left -= take;
+                j += take;
             }
-            st->qual_left -= counted;
             i = j - 1;
             if (st->qual_left == 0) { st->state = ST_LINE_START; st->seq_len = 0; }
             break;
