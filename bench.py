@@ -56,8 +56,8 @@ def main():
     import jax.numpy as jnp
     from quickmer2_tpu.ops import codec
     from quickmer2_tpu.ops.anchored import (
-        anchored_count_kernel, build_dblock, exact_count_rows,
-        genome_tiles_np)
+        anchored_count_kernel, build_dblock, build_neighbor_bits,
+        exact_count_rows, genome_tiles_np)
     from quickmer2_tpu.ops.packed_table import PackedTable
 
     t0 = time.time()
@@ -84,7 +84,19 @@ def main():
     table = PackedTable.build(khi, klo, np.arange(n, dtype=np.uint32),
                               pos=dict_pos)
     dblock = build_dblock(dict_pos, GENOME_BASES)
-    tiles = genome_tiles_np(genome)
+    # neighbor bitmap: a per-dictionary artifact (like .qgc) — cached
+    # on disk since bench inputs are deterministic (seed 0)
+    tnb = time.time()
+    import os
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".bench_nbits_{GENOME_BASES}_{K}.npy")
+    if os.path.exists(cache):
+        nbits = np.load(cache)
+    else:
+        nbits = build_neighbor_bits(genome, table.rows, table.n_buckets, K)
+        np.save(cache, nbits)
+    tiles = genome_tiles_np(genome, nbits)
+    nb_s = time.time() - tnb
 
     # reads with substitution errors
     starts = rng.integers(0, GENOME_BASES - READ_LEN, size=N_READS)
@@ -103,18 +115,20 @@ def main():
     reads_d = jnp.asarray(reads)
     diff0 = jnp.zeros(n + 2, jnp.uint32)
     jax.block_until_ready((rows_d, tiles_d, dblock_d, reads_d))
-    print(f"# setup {time.time()-t0:.1f}s: dict {n} kmers, "
+    print(f"# setup {time.time()-t0:.1f}s (neighbor bitmap {nb_s:.1f}s, "
+          f"{int(np.count_nonzero(nbits))} nonzero): dict {n} kmers, "
           f"buckets {table.n_buckets}, reads {N_READS}x{READ_LEN}, "
           f"backend {jax.default_backend()}", file=sys.stderr)
 
     W = READ_LEN - K + 1
     anchor_offsets = (0, W // 3, (2 * W) // 3, W - 1)
 
-    def make_tier(max_runs, max_dirty, dirty_runs=0, run_width=0):
+    def make_tier(max_runs, max_dirty, dirty_runs=0, run_width=0,
+                  neighbor=False):
         kw = dict(k=K, read_len=READ_LEN, n_buckets=table.n_buckets,
                   anchor_offsets=anchor_offsets, max_runs=max_runs,
                   max_dirty=max_dirty, max_dirty_runs=dirty_runs,
-                  dirty_run_width=run_width)
+                  dirty_run_width=run_width, neighbor_mode=neighbor)
 
         @jax.jit
         def many(reads, rows, tiles, dblock, diff):
@@ -131,8 +145,7 @@ def main():
             return jnp.mean(spilled.astype(jnp.float32))
         return many, spill
 
-    anchored_many, spill_frac = make_tier(4, 0)
-    tier2_many, tier2_spill = make_tier(6, 0, dirty_runs=2, run_width=32)
+    anchored_many, spill_frac = make_tier(4, 0, neighbor=True)
 
     @jax.jit
     def exact_many(reads, rows, diff):
@@ -153,7 +166,6 @@ def main():
 
     windows_per_iter = N_READS * W
     sp1 = float(np.asarray(spill_frac(reads_d, rows_d, tiles_d, dblock_d, diff0)))
-    sp2 = float(np.asarray(tier2_spill(reads_d, rows_d, tiles_d, dblock_d, diff0)))
 
     t_exact = honest_time(exact_many, reads_d, rows_d, diff0, lat=lat)
     exact_rate = windows_per_iter * ITERS / t_exact
@@ -162,18 +174,15 @@ def main():
 
     t_anch = honest_time(anchored_many, reads_d, rows_d, tiles_d, dblock_d,
                          diff0, lat=lat)
-    t_tier2 = honest_time(tier2_many, reads_d, rows_d, tiles_d, dblock_d,
-                          diff0, lat=lat)
-    # three-tier effective throughput: tier1 on everything, run-sliced
-    # tier2 on the spilled fraction, exact on the residual (spill
-    # batches are dense, so per-read cost holds)
-    t_total = t_anch + sp1 * t_tier2 + sp2 * t_exact
+    # two-tier effective throughput: neighbor-bit tier1 on everything
+    # (isolated errors absorbed via the bitmap), exact per-k-mer path on
+    # the spilled fraction (close error pairs, edge cases; spill batches
+    # are dense, so per-read cost holds)
+    t_total = t_anch + sp1 * t_exact
     rate = windows_per_iter * ITERS / t_total
-    print(f"# tier1 {windows_per_iter*ITERS/t_anch/1e6:.1f} M kmers/s "
-          f"(spill {sp1*100:.1f}% at {ERROR_RATE*100:.1f}%/bp), "
-          f"tier2-sliced {windows_per_iter*ITERS/t_tier2/1e6:.1f} M kmers/s "
-          f"(residual {sp2*100:.1f}%) → effective {rate/1e6:.1f} M kmers/s",
-          file=sys.stderr)
+    print(f"# tier1+nbits {windows_per_iter*ITERS/t_anch/1e6:.1f} M kmers/s "
+          f"(spill {sp1*100:.2f}% at {ERROR_RATE*100:.1f}%/bp) "
+          f"→ effective {rate/1e6:.1f} M kmers/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "count_kmers_per_s_per_chip",

@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from quickmer2_tpu.ops import codec
-from quickmer2_tpu.ops.packed_table import PackedTable, probe_packed
+from quickmer2_tpu.ops.packed_table import (
+    PackedTable, probe_packed, probe_packed_np)
 
 GBLK = 64          # genome tile width (bases) for row gathers
 DBLK = 64          # prefix-count block size (positions per block)
@@ -53,17 +54,28 @@ class AnchoredIndex:
     """Device-side structures for anchored counting."""
     rows: jax.Array          # packed table rows (B, 16) incl. positions
     n_buckets: int
-    genome_tiles: jax.Array  # u8[G/GBLK, GBLK] padded genome codes
+    genome_tiles: jax.Array  # u8[G/GBLK, GBLK]: bits 0-2 genome code,
+    #                          bits 3-6 neighbor-hit flags (see
+    #                          build_neighbor_bits)
     genome_len: int
     dblock: jax.Array        # u32[G/DBLK, 4]: [rank_base, mask_hi, mask_lo, 0]
     n_kmers: int
+    has_neighbor_bits: bool = False
 
     @classmethod
     def build(cls, genome_codes: np.ndarray, dict_end_pos: np.ndarray,
-              kmers_in_order: np.ndarray, k: int) -> "AnchoredIndex":
+              kmers_in_order: np.ndarray, k: int,
+              neighbor_bits: bool = True,
+              device_build: bool = False) -> "AnchoredIndex":
         """genome_codes: u8[G] concatenated code stream (with SEP between
         chromosomes); dict_end_pos: u32[n] global end position of each
-        dictionary k-mer in rank order; kmers_in_order: u64[n]."""
+        dictionary k-mer in rank order; kmers_in_order: u64[n].
+
+        neighbor_bits=True additionally builds the single-substitution
+        neighbor-hit bitmap and packs it into the genome tile bytes,
+        letting the count kernel prove most error-containing reads
+        contribute nothing through their dirty windows (no extra random
+        accesses — the window fetch already brings the bytes)."""
         G = len(genome_codes)
         n = len(dict_end_pos)
         khi, klo = codec.split_u64(kmers_in_order)
@@ -71,17 +83,24 @@ class AnchoredIndex:
         table = PackedTable.build(khi, klo, rank,
                                   pos=np.asarray(dict_end_pos, np.uint32))
 
-        tiles = genome_tiles_np(genome_codes)
+        builder = (build_neighbor_bits_device if device_build
+                   else build_neighbor_bits)
+        nbits = (builder(genome_codes, table.rows, table.n_buckets, k)
+                 if neighbor_bits else None)
+        tiles = genome_tiles_np(genome_codes, nbits)
         dblock = build_dblock(dict_end_pos, G)
         return cls(jnp.asarray(table.rows), table.n_buckets,
-                   jnp.asarray(tiles), G, jnp.asarray(dblock), n)
+                   jnp.asarray(tiles), G, jnp.asarray(dblock), n,
+                   has_neighbor_bits=neighbor_bits)
 
     @classmethod
-    def from_dictionary_and_fasta(cls, dic, fasta_path: str) -> "AnchoredIndex":
+    def from_dictionary_and_fasta(cls, dic, fasta_path: str,
+                                  neighbor_bits: bool = True) -> "AnchoredIndex":
         """Recover genome stream + per-rank positions by scanning the
         reference FASTA against an (imported or built) Dictionary."""
         stream, dict_pos = _genome_stream_and_positions(dic, fasta_path)
-        return cls.build(stream, dict_pos, dic.kmers_in_order, dic.kmer_size)
+        return cls.build(stream, dict_pos, dic.kmers_in_order, dic.kmer_size,
+                         neighbor_bits=neighbor_bits)
 
 
 def _genome_stream_and_positions(dic, fasta_path: str):
@@ -121,13 +140,102 @@ def _genome_stream_and_positions(dic, fasta_path: str):
     return stream, dict_pos
 
 
-def genome_tiles_np(genome_codes: np.ndarray) -> np.ndarray:
-    """Pad the code stream to GBLK tiles (SEP padding)."""
+def genome_tiles_np(genome_codes: np.ndarray,
+                    neighbor_bits: np.ndarray | None = None) -> np.ndarray:
+    """Pad the code stream to GBLK tiles (SEP padding). When
+    neighbor_bits (u8[G], low 4 bits used) is given, each tile byte is
+    code | bits << 3 — consumers mask with & 7 for the code."""
     G = len(genome_codes)
     ng = -(-G // GBLK)
     tiles = np.full(ng * GBLK, codec.SEP, np.uint8)
     tiles[:G] = genome_codes
+    if neighbor_bits is not None:
+        tiles[:G] |= (neighbor_bits.astype(np.uint8) & np.uint8(15)) << 3
     return tiles.reshape(ng, GBLK)
+
+
+def build_neighbor_bits(genome_codes: np.ndarray, rows: np.ndarray,
+                        n_buckets: int, k: int,
+                        chunk: int = 1 << 22) -> np.ndarray:
+    """Single-substitution neighbor-hit bitmap of the genome against the
+    dictionary.
+
+    Returns u8[G] where bit b of byte e is set iff substituting base b
+    (genome strand) at genome position e inside ANY valid k-window
+    produces a canonical k-mer that IS in the dictionary. In a unique-
+    k-mer dictionary this is overwhelmingly rare, so the count kernel
+    can use a zero byte as proof that every dirty window k-mer induced
+    by a lone substitution at e misses the dictionary — replacing up to
+    k probes per sequencing error with bits it already fetched.
+
+    The reference has no counterpart (it pays the probes per read,
+    QuicKmer.c:256-296); this is a derived per-dictionary artifact, like
+    the .qgc, amortized across all samples counted against it.
+
+    Host implementation: a one-byte-per-slot Bloom prefilter over the
+    table keys (single random access per variant, ~1-2% pass rate on a
+    unique-k-mer dictionary) followed by an exact packed-table probe of
+    the survivors — ~10x faster than probing every variant. For large
+    genomes prefer build_neighbor_bits_device (bit-identical output).
+    """
+    G = len(genome_codes)
+    nb = np.zeros(G, np.uint8)
+    if G < k:
+        return nb
+    member = _bloom_member_maker(rows, n_buckets)
+    step = max(chunk, 4 * k)
+    for off in range(0, G - k + 1, step):
+        seg = genome_codes[off: off + step + k - 1]
+        fwd, rc, valid = codec.sliding_fwd_rc_np(seg, k)
+        vidx = np.flatnonzero(valid)
+        if len(vidx) == 0:
+            continue
+        fwd, rc = fwd[vidx], rc[vidx]
+        for i in range(k):
+            base_i = seg[vidx + i]
+            sh_f = np.uint64(2 * (k - 1 - i))
+            sh_r = np.uint64(2 * i)
+            f_clr = fwd & ~(np.uint64(3) << sh_f)
+            r_clr = rc & ~(np.uint64(3) << sh_r)
+            for b in range(4):
+                sel = base_i != b
+                if not sel.any():
+                    continue
+                mf = f_clr[sel] | (np.uint64(b) << sh_f)
+                mr = r_clr[sel] | (np.uint64((b - 2) & 3) << sh_r)
+                canon = np.minimum(mf, mr)
+                khi, klo = codec.split_u64(canon)
+                found = member(khi, klo)
+                if found.any():
+                    e = off + vidx[sel][found] + i
+                    np.bitwise_or.at(nb, e, np.uint8(1 << b))
+    return nb
+
+
+def _bloom_member_maker(rows: np.ndarray, n_buckets: int):
+    """Exact membership tester against a packed table: Bloom byte-map
+    prefilter (sized ~64 slots/key, capped at 1 GiB) + packed probe of
+    the candidates. Returns member(khi, klo) -> bool[N]."""
+    khi_t = np.ascontiguousarray(rows[:, 0::4]).ravel()
+    klo_t = np.ascontiguousarray(rows[:, 1::4]).ravel()
+    nz = (khi_t | klo_t) != 0
+    from quickmer2_tpu.ops.hash import djb_pair_np
+    h = djb_pair_np(khi_t[nz], klo_t[nz])
+    n = int(nz.sum())
+    mbits = min(max(int(np.ceil(np.log2(max(n, 1) * 64))), 16), 30)
+    bloom = np.zeros(1 << mbits, np.uint8)
+    bloom[h & np.uint32((1 << mbits) - 1)] = 1
+
+    def member(khi_q: np.ndarray, klo_q: np.ndarray) -> np.ndarray:
+        hq = djb_pair_np(khi_q, klo_q)
+        cand = bloom[hq & np.uint32((1 << mbits) - 1)] != 0
+        out = np.zeros(len(khi_q), bool)
+        ci = np.flatnonzero(cand)
+        if len(ci):
+            out[ci] = probe_packed_np(rows, khi_q[ci], klo_q[ci], n_buckets)
+        return out
+
+    return member
 
 
 def build_dblock(dict_end_pos: np.ndarray, G: int) -> np.ndarray:
@@ -150,6 +258,85 @@ def build_dblock(dict_end_pos: np.ndarray, G: int) -> np.ndarray:
     dblock[:, 1] = hi_mask.astype(np.uint32)
     dblock[:, 2] = lo_mask.astype(np.uint32)
     return dblock
+
+
+def _set2(hi, lo, sh, val):
+    """Set the 2-bit field at (traced, even) bit offset sh of a u64
+    expressed as a (hi, lo) u32 pair. sh is always even (2*offset), so
+    the field never straddles the word boundary."""
+    in_lo = sh < 32
+    sh_lo = jnp.where(in_lo, sh, 0).astype(jnp.uint32)
+    sh_hi = jnp.where(in_lo, 0, sh - 32).astype(jnp.uint32)
+    m_lo = jnp.where(in_lo, jnp.uint32(3) << sh_lo, jnp.uint32(0))
+    m_hi = jnp.where(in_lo, jnp.uint32(0), jnp.uint32(3) << sh_hi)
+    v = val.astype(jnp.uint32)
+    lo2 = (lo & ~m_lo) | jnp.where(in_lo, v << sh_lo, jnp.uint32(0))
+    hi2 = (hi & ~m_hi) | jnp.where(in_lo, jnp.uint32(0), v << sh_hi)
+    return hi2, lo2
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
+def _neighbor_bits_kernel(codes, rows, *, k: int, n_buckets: int):
+    """Device neighbor-bitmap build over one genome chunk: for every
+    (window offset i, base b) combination, mutate every valid window,
+    probe the packed table, and OR the hits into per-base bit planes.
+    One fori_loop over the 4k combinations — the mutation is 32-bit
+    field surgery on the strand words, so the whole build is elementwise
+    VPU work plus the probes."""
+    G = codes.shape[0]
+    N = G - k + 1
+    fhi, flo, rhi, rlo, valid = codec.sliding_fwd_rc(codes, k)
+
+    def body(i, acc):
+        base_i = jax.lax.dynamic_slice(codes, (i,), (N,))
+        chis, clos = [], []
+        for b in range(4):
+            mfh, mfl = _set2(fhi, flo, 2 * (k - 1) - 2 * i, jnp.uint32(b))
+            mrh, mrl = _set2(rhi, rlo, 2 * i, jnp.uint32((b - 2) & 3))
+            fwd_less = (mfh < mrh) | ((mfh == mrh) & (mfl <= mrl))
+            chis.append(jnp.where(fwd_less, mfh, mrh))
+            clos.append(jnp.where(fwd_less, mfl, mrl))
+        f, _, _ = probe_packed(rows, jnp.stack(chis).reshape(-1),
+                               jnp.stack(clos).reshape(-1), n_buckets,
+                               jnp.uint32(0))
+        b_of = jax.lax.broadcasted_iota(jnp.uint8, (4, N), 0)
+        hit = f.reshape(4, N) & valid[None, :] & (base_i[None, :] != b_of)
+        cur = jax.lax.dynamic_slice(acc, (0, i), (4, N))
+        return jax.lax.dynamic_update_slice(acc, cur | hit, (0, i))
+
+    acc = jnp.zeros((4, G), bool)
+    acc = jax.lax.fori_loop(0, k, body, acc)
+    return (acc[0].astype(jnp.uint8)
+            | (acc[1].astype(jnp.uint8) << 1)
+            | (acc[2].astype(jnp.uint8) << 2)
+            | (acc[3].astype(jnp.uint8) << 3))
+
+
+def build_neighbor_bits_device(genome_codes: np.ndarray, rows,
+                               n_buckets: int, k: int,
+                               chunk: int = 1 << 23) -> np.ndarray:
+    """Device-accelerated build_neighbor_bits (bit-identical output).
+    Transfers are just the genome codes up and the bitmap down; the 4k
+    mutation/probe sweeps all run on device. Chunked with k-1 overlap so
+    arbitrarily large genomes stream through fixed-shape compilations."""
+    genome_codes = np.asarray(genome_codes, np.uint8)
+    G = len(genome_codes)
+    nb = np.zeros(G, np.uint8)
+    if G < k:
+        return nb
+    rows = jnp.asarray(rows)
+    step = max(chunk, 4 * k)
+    for off in range(0, max(G - k + 1, 1), step):
+        seg = genome_codes[off: off + step + k - 1]
+        pad = 0
+        if off > 0 and len(seg) < step + k - 1:
+            pad = step + k - 1 - len(seg)
+            seg = np.pad(seg, (0, pad), constant_values=codec.SEP)
+        out = np.asarray(_neighbor_bits_kernel(
+            jnp.asarray(seg), rows, k=k, n_buckets=n_buckets))
+        take = len(seg) - pad
+        nb[off: off + take] |= out[:take]
+    return nb
 
 
 def _popcount32(x):
@@ -202,7 +389,8 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
                           *, k: int, read_len: int, n_buckets: int,
                           anchor_offsets: tuple = (0, 30, 60, 91),
                           max_runs: int = 4, max_dirty: int = 8,
-                          max_dirty_runs: int = 0, dirty_run_width: int = 0):
+                          max_dirty_runs: int = 0, dirty_run_width: int = 0,
+                          neighbor_mode: bool = False):
     """Process one batch of fixed-length reads.
 
     reads: u8[R, read_len] code rows (SEP-padded). diff: u32[n_kmers+2]
@@ -244,9 +432,12 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
     # --- genome windows, both strands ---------------------------------
     G = genome_tiles.shape[0] * GBLK
     # forward: read t <-> genome[s_f + t], s_f = pos - (k-1) - a_off
+    # (tile bytes carry the code in bits 0-2 and neighbor-hit flags in
+    # bits 3-6 — mask with & 7 for the code)
     s_f = a_pos - (k - 1) - a_off
     fwd_in_range = (s_f >= 0) & (s_f + L <= G)
-    gwin_f = fetch_genome_window(genome_tiles, s_f, L)
+    gwraw_f = fetch_genome_window(genome_tiles, s_f, L)
+    gwin_f = gwraw_f & jnp.uint8(7)
     match_f = (reads == gwin_f) & (reads < 4) & (gwin_f < 4) \
         & fwd_in_range[:, None]
     # reverse: read aligns to revcomp of genome [ge-L+1, ge], ge = a_pos
@@ -256,7 +447,8 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
     rc_in_range = (ge - (L - 1) >= 0) & (ge < G)
     gwin_r = fetch_genome_window(genome_tiles, ge - (L - 1), L)
     gflip = jnp.flip(gwin_r, axis=1)
-    gwin_rc = jnp.where(gflip < 4, (gflip - jnp.uint8(2)) & jnp.uint8(3),
+    gflip_c = gflip & jnp.uint8(7)
+    gwin_rc = jnp.where(gflip_c < 4, (gflip_c - jnp.uint8(2)) & jnp.uint8(3),
                         jnp.uint8(4))
     match_r = (reads == gwin_rc) & (reads < 4) & (gwin_rc < 4) \
         & rc_in_range[:, None]
@@ -309,6 +501,44 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
         covered = (n_dirty_runs <= max_dirty_runs) & widths_ok
         spilled = (~a_found & jnp.any(valid, axis=1)) \
             | (n_runs > max_runs) | ~covered
+    elif neighbor_mode and max_dirty == 0:
+        # Neighbor-bit fast discard: a read whose mismatches are all
+        # (a) genuine base-vs-base substitutions, (b) pairwise >= k
+        # apart (every dirty window contains exactly one), and (c) have
+        # a zero neighbor-hit flag for the substituted base, provably
+        # contributes NOTHING through its dirty windows — each dirty
+        # window k-mer is a single-substitution variant covered by the
+        # bitmap, which says no variant is in the dictionary. Such
+        # reads are fully handled by the clean-run range-adds below;
+        # everything else spills. Entirely elementwise: the flags ride
+        # in the genome bytes already fetched for the match.
+        anyvalid = jnp.any(valid, axis=1)
+        in_range = jnp.where(use_fwd, fwd_in_range, rc_in_range)
+        g_raw = jnp.where(use_fwd[:, None], gwraw_f, gflip)
+        g_code = g_raw & jnp.uint8(7)
+        g_nb = (g_raw >> 3) & jnp.uint8(15)
+        # substituted base on the GENOME strand: read base (fwd) or its
+        # complement (rc alignment)
+        b_gen = jnp.where(use_fwd[:, None], reads & jnp.uint8(3),
+                          (reads + jnp.uint8(2)) & jnp.uint8(3))
+        # read positions covered by at least one valid window
+        t_np = np.arange(L)
+        hi_c = np.minimum(t_np + 1, W)
+        lo_c = np.clip(t_np - k + 1, 0, W)
+        csv = jnp.pad(jnp.cumsum(valid.astype(jnp.int32), axis=1),
+                      ((0, 0), (1, 0)))
+        cov = (csv[:, hi_c] - csv[:, lo_c]) > 0
+        mm_any = (~match) & cov
+        base_ok = (reads < 4) & (g_code < 4)
+        mm_sub = mm_any & base_ok
+        mm_bad = jnp.any(mm_any & ~base_ok, axis=1)
+        csm = jnp.pad(jnp.cumsum(mm_sub.astype(jnp.int32), axis=1),
+                      ((0, 0), (1, 0)))
+        mm_close = jnp.any((csm[:, hi_c] - csm[:, lo_c]) >= 2, axis=1)
+        nb_hit = jnp.any(
+            mm_sub & (((g_nb >> b_gen) & jnp.uint8(1)) != 0), axis=1)
+        spilled = (anyvalid & (~a_found | ~in_range)) \
+            | (n_runs > max_runs) | mm_bad | mm_close | nb_hit
     else:
         spilled = (~a_found & jnp.any(valid, axis=1)) \
             | (n_runs > max_runs) | (n_dirty > max_dirty)
@@ -407,7 +637,7 @@ anchored_count_batch = jax.jit(
     anchored_count_kernel,
     static_argnames=("k", "read_len", "n_buckets", "anchor_offsets",
                      "max_runs", "max_dirty", "max_dirty_runs",
-                     "dirty_run_width"))
+                     "dirty_run_width", "neighbor_mode"))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
@@ -450,13 +680,21 @@ class AnchoredDepthCounter:
                  max_dirty: int = 0, tier2_max_dirty: int = 0,
                  tier2_max_runs: int = 6, tier2_dirty_runs: int = 2,
                  tier2_run_width: int = 32,
-                 anchor_offsets: tuple | None = None):
+                 anchor_offsets: tuple | None = None,
+                 neighbor_mode: bool | None = None):
         self.index = index
         self.k = k
         self.read_len = read_len
         self.batch_reads = batch_reads
         self.max_runs = max_runs
         self.max_dirty = max_dirty
+        # neighbor-bit fast discard (see anchored_count_kernel): on by
+        # default whenever the index carries the bitmap
+        self.neighbor_mode = (index.has_neighbor_bits if neighbor_mode is None
+                              else neighbor_mode)
+        if self.neighbor_mode and not index.has_neighbor_bits:
+            raise ValueError("neighbor_mode requires an index built with "
+                             "neighbor_bits=True")
         # tier 2: spilled reads re-run the anchored kernel in RUN-SLICED
         # dirty mode — clean fragments still count via range-adds and
         # each dirty run (<= tier2_run_width windows around an error) is
@@ -502,7 +740,7 @@ class AnchoredDepthCounter:
             reads, ix.rows, ix.genome_tiles, ix.dblock, self.diff,
             None, k=self.k, read_len=self.read_len, n_buckets=ix.n_buckets,
             anchor_offsets=self.anchor_offsets, max_runs=self.max_runs,
-            max_dirty=self.max_dirty)
+            max_dirty=self.max_dirty, neighbor_mode=self.neighbor_mode)
         sp = np.asarray(spilled)
         self.n_reads += len(batch)
         if sp.any():

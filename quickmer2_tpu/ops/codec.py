@@ -86,16 +86,19 @@ def revcomp_code(code: int, k: int) -> int:
 # Host bulk extraction (numpy, u64)
 # ---------------------------------------------------------------------------
 
-def sliding_kmers_np(codes: np.ndarray, k: int):
-    """All sliding-window canonical k-mers of a code stream.
+def sliding_fwd_rc_np(codes: np.ndarray, k: int):
+    """Forward and reverse-complement codes of every sliding window
+    (NOT canonicalized — callers needing per-strand bit surgery, e.g.
+    the neighbor-hit index build, take min themselves).
 
-    Returns (canon u64[N], valid bool[N]) with N = len(codes) - k + 1.
-    valid[i] is False if any of codes[i:i+k] is SEP.
+    Returns (fwd u64[N], rc u64[N], valid bool[N]), N = len(codes)-k+1.
+    Window i's base at offset j sits in fwd bits [2(k-1-j), 2(k-j)) and,
+    complemented, in rc bits [2j, 2j+2).
     """
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = len(codes) - k + 1
     if n <= 0:
-        return np.zeros(0, np.uint64), np.zeros(0, bool)
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64), np.zeros(0, bool)
     mask = np.uint64((1 << (2 * k)) - 1)
     fwd = np.zeros(n, np.uint64)
     rc = np.zeros(n, np.uint64)
@@ -108,6 +111,16 @@ def sliding_kmers_np(codes: np.ndarray, k: int):
     bad = (codes >= 4).astype(np.int32)
     cs = np.concatenate([[0], np.cumsum(bad)])
     valid = (cs[k:] - cs[:-k]) == 0
+    return fwd, rc, valid
+
+
+def sliding_kmers_np(codes: np.ndarray, k: int):
+    """All sliding-window canonical k-mers of a code stream.
+
+    Returns (canon u64[N], valid bool[N]) with N = len(codes) - k + 1.
+    valid[i] is False if any of codes[i:i+k] is SEP.
+    """
+    fwd, rc, valid = sliding_fwd_rc_np(codes, k)
     return np.minimum(fwd, rc), valid
 
 
@@ -126,11 +139,15 @@ def join_u64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def sliding_kmers(codes: jax.Array, k: int):
-    """Device version of sliding_kmers_np on uint32 (hi, lo) pairs.
+def sliding_fwd_rc(codes: jax.Array, k: int):
+    """Device sliding-window strand codes as uint32 (hi, lo) pairs,
+    NOT canonicalized (callers doing per-strand bit surgery — e.g. the
+    neighbor-hit bitmap build — take the min themselves).
 
     codes: uint8[L] sequence stream (0..3 bases, >=4 separators).
-    Returns (canon_hi u32[N], canon_lo u32[N], valid bool[N]), N = L - k + 1.
+    Returns (fhi, flo, rhi, rlo (u32[N] each), valid bool[N]),
+    N = L - k + 1. Window i's base at offset j sits in fwd bits
+    [2(k-1-j), 2(k-j)) and, complemented, in rc bits [2j, 2j+2).
 
     The k-iteration roll is unrolled at trace time (k is static); XLA fuses
     it into a handful of elementwise passes.
@@ -164,12 +181,22 @@ def sliding_kmers(codes: jax.Array, k: int):
         else:
             rlo = rlo | (rcb << top)
 
+    bad = (codes >= 4).astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(bad)])
+    valid = (jax.lax.dynamic_slice(cs, (k,), (n,)) - jax.lax.dynamic_slice(cs, (0,), (n,))) == 0
+    return fhi, flo, rhi, rlo, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def sliding_kmers(codes: jax.Array, k: int):
+    """Device version of sliding_kmers_np on uint32 (hi, lo) pairs.
+
+    codes: uint8[L] sequence stream (0..3 bases, >=4 separators).
+    Returns (canon_hi u32[N], canon_lo u32[N], valid bool[N]), N = L - k + 1.
+    """
+    fhi, flo, rhi, rlo, valid = sliding_fwd_rc(codes, k)
     # canonical = lexicographic min over (hi, lo)
     fwd_less = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
     chi = jnp.where(fwd_less, fhi, rhi)
     clo = jnp.where(fwd_less, flo, rlo)
-
-    bad = (codes >= 4).astype(jnp.int32)
-    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(bad)])
-    valid = (jax.lax.dynamic_slice(cs, (k,), (n,)) - jax.lax.dynamic_slice(cs, (0,), (n,))) == 0
     return chi, clo, valid

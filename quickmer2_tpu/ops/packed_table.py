@@ -179,6 +179,23 @@ def _cuckoo_evict(pending, slot_of, h1, h2, n_buckets) -> bool:
     return True
 
 
+def probe_packed_np(rows: np.ndarray, khi: np.ndarray, klo: np.ndarray,
+                    n_buckets: int) -> np.ndarray:
+    """Host (numpy) membership probe — same two-row-gather semantics as
+    the device probe_packed, found flags only. Used by offline index
+    builds (e.g. the neighbor-hit bitmap)."""
+    from quickmer2_tpu.ops.hash import djb_pair_np
+    h = djb_pair_np(khi, klo)
+    h1, h2 = bucket_hashes(h, n_buckets)
+    found = np.zeros(len(khi), bool)
+    for idx in (h1, h2):
+        r = rows[idx.astype(np.int64)]
+        for e in range(ENTRIES_PER_BUCKET):
+            found |= (r[:, 4 * e] == khi) & (r[:, 4 * e + 1] == klo)
+    found &= (khi | klo) != 0
+    return found
+
+
 def probe_packed(rows, khi, klo, n_buckets: int, miss_rank):
     """Device probe: exactly two row gathers. Returns (found bool[N],
     rank u32[N], pos u32[N]); misses get miss_rank and pos 0."""

@@ -115,6 +115,139 @@ def test_mixed_strand_reads(world):
     np.testing.assert_array_equal(d_anch, d_direct)
 
 
+def test_neighbor_bits_brute_force(world):
+    """build_neighbor_bits against brute-force enumeration of every
+    single-substitution variant of every valid genome window."""
+    from quickmer2_tpu.ops.anchored import build_neighbor_bits
+    from quickmer2_tpu.ops.packed_table import PackedTable
+
+    rng = np.random.default_rng(9)
+    genome = helpers.random_genome(rng, 400)
+    # plant an ED1 pair: copy a 60bp block with one substitution so some
+    # variants really do hit the dictionary
+    blk = genome[100:160]
+    mut = blk[:31] + ("A" if blk[31] != "A" else "C") + blk[32:]
+    genome = genome + "N" + mut
+    codes = codec.encode_bases(genome.encode())
+    canon, valid = codec.sliding_kmers_np(codes, K)
+    valid &= canon != 0
+    kmers = canon[valid]
+    uniq, counts = np.unique(kmers, return_counts=True)
+    keep = valid.copy()
+    keep[valid] &= ~np.isin(kmers, uniq[counts > 1])
+    dict_kmers = canon[keep]
+    khi, klo = codec.split_u64(dict_kmers)
+    table = PackedTable.build(khi, klo,
+                              np.arange(len(dict_kmers), dtype=np.uint32))
+    nb = build_neighbor_bits(codes, table.rows, table.n_buckets, K)
+
+    dict_set = set(dict_kmers.tolist())
+    G = len(codes)
+    expect = np.zeros(G, np.uint8)
+    for g0 in range(G - K + 1):
+        win = codes[g0 : g0 + K]
+        if (win >= 4).any():
+            continue
+        for i in range(K):
+            for b in range(4):
+                if b == win[i]:
+                    continue
+                w2 = win.copy()
+                w2[i] = b
+                fwd = 0
+                rc = 0
+                for j, c in enumerate(w2):
+                    fwd = (fwd << 2) | int(c)
+                    rc |= ((int(c) - 2) & 3) << (2 * j)
+                if min(fwd, rc) in dict_set:
+                    expect[g0 + i] |= 1 << b
+    np.testing.assert_array_equal(nb, expect)
+    assert expect.any()   # the planted ED1 pair must produce real hits
+
+    # device builder must agree bit-for-bit (incl. across chunk seams)
+    from quickmer2_tpu.ops.anchored import build_neighbor_bits_device
+    nb_dev = build_neighbor_bits_device(codes, table.rows, table.n_buckets, K)
+    np.testing.assert_array_equal(nb_dev, expect)
+    nb_chunked = build_neighbor_bits_device(codes, table.rows,
+                                            table.n_buckets, K, chunk=128)
+    np.testing.assert_array_equal(nb_chunked, expect)
+
+
+def test_ed1_neighbor_hits_stay_exact(tmp_path):
+    """A substituted read whose dirty window k-mer IS in the dictionary
+    (planted ED1 pair): the neighbor bitmap must force a spill so the
+    hit is counted — the one case the fast discard cannot skip."""
+    rng = np.random.default_rng(10)
+    blk = helpers.random_genome(rng, 120)
+    mid = 60
+    sub = "A" if blk[mid] != "A" else "C"
+    mut = blk[:mid] + sub + blk[mid + 1:]
+    chrom = (helpers.random_genome(rng, 3000) + blk
+             + helpers.random_genome(rng, 3000) + mut
+             + helpers.random_genome(rng, 3000))
+    fa = str(tmp_path / "ed1.fa")
+    helpers.write_fasta(fa, {"c1": chrom})
+    dic = search_pipe.run_search(
+        fa, SearchConfig(kmer_size=K, hash_size=1 << 16, edit_distance=0,
+                         window_size=100), verbose=False)
+    index = AnchoredIndex.from_dictionary_and_fasta(dic, fa)
+    assert index.has_neighbor_bits
+
+    # reads over the ORIGINAL block carrying exactly the substitution
+    # that turns it into the planted variant (and rc versions)
+    blk_at = 3000
+    reads = []
+    for off in range(0, 60, 3):
+        s = blk_at + mid - READ_LEN + 1 + off
+        r = chrom[s : s + READ_LEN]
+        p = READ_LEN - 1 - off
+        if 0 <= p < READ_LEN:
+            r = r[:p] + sub + r[p + 1:]
+        reads.append(r)
+        reads.append(helpers.revcomp(r))
+    world = {"dic": dic, "index": index}
+    d_anch, d_direct, anch = _depths(world, reads)
+    np.testing.assert_array_equal(d_anch, d_direct)
+    assert anch.n_spilled > 0          # bitmap hits must spill
+    assert d_direct.sum() > 0
+
+
+def test_isolated_errors_do_not_spill(world):
+    """The point of the bitmap: reads with one isolated substitution in
+    a random genome should be fully absorbed by tier 1."""
+    rng = np.random.default_rng(11)
+    reads = helpers.simulate_reads(rng, world["chr2"], 300, READ_LEN)
+    noisy = []
+    for r in reads:
+        p = int(rng.integers(10, READ_LEN - 10))
+        c = "ACGT"[int(rng.integers(0, 4))]
+        noisy.append(r[:p] + c + r[p + 1:])
+    d_anch, d_direct, anch = _depths(world, noisy)
+    np.testing.assert_array_equal(d_anch, d_direct)
+    assert anch.n_spilled < anch.n_reads * 0.05
+
+
+def test_without_neighbor_bits(world):
+    """Index built without the bitmap: falls back to spill-on-any-dirty
+    and must stay exact."""
+    index = AnchoredIndex.from_dictionary_and_fasta(
+        world["dic"], world["fa"], neighbor_bits=False)
+    assert not index.has_neighbor_bits
+    rng = np.random.default_rng(12)
+    reads = helpers.simulate_reads(rng, world["chr1"], 200, READ_LEN)
+    noisy = [r[:50] + ("A" if r[50] != "A" else "T") + r[51:] for r in reads]
+    blob = "".join(f">r{i}\n{r}\n" for i, r in enumerate(noisy)).encode()
+    codes = make_packer("fasta-lines").feed(blob)
+    direct = DepthCounter(world["dic"], batch_bases=1 << 16, layout="packed")
+    direct.feed_codes(codes)
+    d_direct = direct.finish()
+    rows = rows_from_flat_codes(codes, READ_LEN)
+    anch = AnchoredDepthCounter(index, K, READ_LEN, batch_reads=512)
+    assert not anch.neighbor_mode
+    anch.feed_reads(rows)
+    np.testing.assert_array_equal(anch.finish(), d_direct)
+
+
 def test_chimeric_reads(world):
     """Reads stitched from two distant loci — anchor at one locus, half
     the read mismatches → dirty k-mers / spill; must stay exact."""
