@@ -643,8 +643,9 @@ anchored_count_batch = jax.jit(
 @functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
 def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int):
     """Exact per-k-mer probe over read rows, masked per read — used for
-    spilled reads. Point-adds go through the same diff-array convention
-    as anchored_count_batch (caller cumsums once at the end)."""
+    spilled reads. Accumulates PLAIN counts (one scatter-add per k-mer
+    — half the random ops of the diff-array convention); the caller
+    adds this accumulator to the cumsum'd diff array at finalize."""
     R, L = reads.shape
     W = L - k + 1
     trash = depth.shape[0] - 1
@@ -657,10 +658,7 @@ def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int):
     valid = (valid & mask[:, None]).reshape(-1)
     f, r, _ = probe_packed(rows, chi, clo, n_buckets, jnp.uint32(trash))
     point = jnp.where(valid & f, r.astype(jnp.int32), trash)
-    depth = depth.at[point].add(1, mode="promise_in_bounds")
-    depth = depth.at[jnp.minimum(point + 1, trash)].add(
-        jnp.uint32(0) - 1, mode="promise_in_bounds")
-    return depth
+    return depth.at[point].add(1, mode="promise_in_bounds")
 
 
 class AnchoredDepthCounter:
@@ -712,6 +710,9 @@ class AnchoredDepthCounter:
                 sorted({0, W // 3, (2 * W) // 3, W - 1} - {-1}))
         self.anchor_offsets = tuple(int(a) for a in anchor_offsets if 0 <= a < W)
         self.diff = jnp.zeros(index.n_kmers + 2, dtype=jnp.uint32)
+        # plain-count accumulator for the exact path (single scatter per
+        # k-mer instead of the diff convention's two)
+        self.exact_acc = jnp.zeros(index.n_kmers + 2, dtype=jnp.uint32)
         self._pending: list[np.ndarray] = []
         self._pending_rows = 0
         self._spill: list[np.ndarray] = []
@@ -779,9 +780,9 @@ class AnchoredDepthCounter:
 
     def _run_exact(self, batch: np.ndarray) -> None:
         ix = self.index
-        self.diff = exact_count_rows(
+        self.exact_acc = exact_count_rows(
             jnp.asarray(batch), jnp.ones(len(batch), bool), ix.rows,
-            self.diff, k=self.k, n_buckets=ix.n_buckets)
+            self.exact_acc, k=self.k, n_buckets=ix.n_buckets)
 
     def finish(self) -> np.ndarray:
         if self._pending_rows:
@@ -812,7 +813,9 @@ class AnchoredDepthCounter:
                 self._run_exact(buf[off: off + self.batch_reads])
             self._spill2, self._spill2_rows = [], 0
         diff = np.asarray(jax.device_get(self.diff)).astype(np.uint32)
+        acc = np.asarray(jax.device_get(self.exact_acc)).astype(np.uint32)
         depth = np.cumsum(diff, dtype=np.uint32)[: self.index.n_kmers]
+        depth += acc[: self.index.n_kmers]
         return depth
 
 
