@@ -819,37 +819,63 @@ class AnchoredDepthCounter:
         return depth
 
 
-def rows_from_flat_codes(codes: np.ndarray, read_len: int) -> np.ndarray:
+def rows_from_flat_codes(codes: np.ndarray, read_len: int,
+                         with_overflow: bool = False):
     """Split a separator-delimited code stream into fixed-length
-    SEP-padded rows (vectorized). Reads longer than read_len raise —
-    such inputs belong on the flat path (see pipelines.count)."""
+    SEP-padded rows (vectorized). Reads longer than read_len either
+    raise (default) or — with with_overflow — are returned as a second
+    value: a separator-delimited code stream for the flat per-k-mer
+    path (see pipelines.count), so variable-length inputs route instead
+    of crashing."""
     codes = np.asarray(codes, np.uint8)
+    empty_over = np.zeros(0, np.uint8)
     if len(codes) == 0:
-        return np.zeros((0, read_len), np.uint8)
+        rows = np.zeros((0, read_len), np.uint8)
+        return (rows, empty_over) if with_overflow else rows
     sep_idx = np.flatnonzero(codes == codec.SEP)
     bounds = np.concatenate([[-1], sep_idx, [len(codes)]])
     starts = bounds[:-1] + 1
     lens = bounds[1:] - starts
     keep = lens > 0
     starts, lens = starts[keep], lens[keep]
+    overflow = empty_over
+    if len(starts) and lens.max() > read_len:
+        if not with_overflow:
+            raise ValueError(
+                f"read of {lens.max()} bases exceeds row width {read_len}")
+        over = lens > read_len
+        over_parts = []
+        for s, ln in zip(starts[over], lens[over]):
+            over_parts.append(codes[s: s + ln])
+            over_parts.append(np.array([codec.SEP], np.uint8))
+        overflow = np.concatenate(over_parts)
+        starts, lens = starts[~over], lens[~over]
     if len(starts) == 0:
-        return np.zeros((0, read_len), np.uint8)
-    if lens.max() > read_len:
-        raise ValueError(
-            f"read of {lens.max()} bases exceeds row width {read_len}")
+        rows = np.zeros((0, read_len), np.uint8)
+        return (rows, overflow) if with_overflow else rows
     idx = starts[:, None] + np.arange(read_len)[None, :]
     rows = codes[np.minimum(idx, len(codes) - 1)]
     rows[np.arange(read_len)[None, :] >= lens[:, None]] = codec.SEP
-    return rows
+    return (rows, overflow) if with_overflow else rows
 
 
 class RowStreamer:
     """Accumulates a separator-delimited code stream and emits
-    fixed-length read rows, carrying partial reads across chunks."""
+    fixed-length read rows, carrying partial reads across chunks.
+    Reads longer than read_len accumulate in .overflow (a separator-
+    delimited code stream) for the caller to route to the flat path."""
 
     def __init__(self, read_len: int):
         self.read_len = read_len
         self._tail = np.zeros(0, np.uint8)
+        self.overflow: list[np.ndarray] = []
+
+    def take_overflow(self) -> np.ndarray:
+        if not self.overflow:
+            return np.zeros(0, np.uint8)
+        out = np.concatenate(self.overflow)
+        self.overflow = []
+        return out
 
     def feed(self, codes: np.ndarray) -> np.ndarray:
         buf = np.concatenate([self._tail, codes]) if len(self._tail) else codes
@@ -859,9 +885,16 @@ class RowStreamer:
             return np.zeros((0, self.read_len), np.uint8)
         cut = seps[-1] + 1
         self._tail = buf[cut:]
-        return rows_from_flat_codes(buf[:cut], self.read_len)
+        rows, over = rows_from_flat_codes(buf[:cut], self.read_len,
+                                          with_overflow=True)
+        if len(over):
+            self.overflow.append(over)
+        return rows
 
     def finish(self) -> np.ndarray:
-        out = rows_from_flat_codes(self._tail, self.read_len)
+        rows, over = rows_from_flat_codes(self._tail, self.read_len,
+                                          with_overflow=True)
+        if len(over):
+            self.overflow.append(over)
         self._tail = np.zeros(0, np.uint8)
-        return out
+        return rows

@@ -4,16 +4,15 @@ per k-mer and summed per window.
 Reference semantics (QuicKmer.c:662-682, see pipelines/est.py for the
 full parity notes): per k-mer the product corr[gc & 0x1FF] * depth is
 computed in float32 and accumulated per window in float64; CN =
-(window_sum / n_kmers_in_window) / (mean_depth / 2).
+(window_sum / n_kmers) / (mean_depth / 2).
 
-On device the window sums are segment sums over the k-mer axis
-(cumulative sum + boundary gathers) — O(n) regular traffic. float64 on
-TPU is emulated and the accumulation fits float32 pair (two-float)
-arithmetic; for window sizes ~1000 and depths < 2^16 a float64 cumsum
-on CPU-free... we keep float32 products and pairwise-safe window sums
-via segment_sum of float64 when x64 is enabled, else float32 with a
-documented tolerance (CN is printed with 6 decimals; window sums of
-~1000 values stay well within tolerance in float32 for typical depth).
+Numerics: window sums are SEGMENT sums (scatter-add per window id), not
+a global prefix sum — a single float32 cumsum over n k-mers reaches
+~1e10 at human scale (2 G k-mers x depth 25) where float32 spacing is
+~1e3, destroying all precision in a prefix-difference. Per-window
+accumulation only ever sums ~w_size (default 1000) products, keeping
+float32 round-off at ~1e-6 relative regardless of genome size (verified
+at 1.3e8 k-mers in tests/test_est.py).
 """
 
 from __future__ import annotations
@@ -25,14 +24,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("num_windows",))
+def _segment_window_sums(prod, kstarts, kends, *, num_windows: int):
+    n = prod.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.searchsorted(kstarts, pos, side="right").astype(jnp.int32) - 1
+    idxc = jnp.clip(idx, 0, num_windows - 1)
+    in_win = (idx >= 0) & (pos < kends[idxc])
+    seg = jnp.where(in_win, idxc, num_windows)
+    sums = jnp.zeros(num_windows + 1, jnp.float32)
+    return sums.at[seg].add(prod, mode="promise_in_bounds")[:num_windows]
+
+
 def corrected_window_sums(depth_u16, gc_bins, factors, kstarts, kends):
     """depth_u16: u32[n] (u16 values); gc_bins: i32[n]; factors f32[401];
-    kstarts/kends: i32[W] window k-mer ranges. Returns f32[W] sums of
-    float32 products over each [kstart, kend)."""
+    kstarts/kends: i32[W] window k-mer ranges (sorted, non-overlapping).
+    Returns f32[W] per-window sums of float32 products."""
     prod = factors[gc_bins] * depth_u16.astype(jnp.float32)
-    cs = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(prod)])
-    return cs[kends] - cs[kstarts]
+    return _segment_window_sums(prod, kstarts, kends,
+                                num_windows=int(kstarts.shape[0]))
 
 
 def cn_values(depth_u16: np.ndarray, qgc: np.ndarray, factors: np.ndarray,

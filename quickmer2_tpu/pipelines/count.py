@@ -94,39 +94,118 @@ count_step_packed = jax.jit(count_kernel_packed,
                             donate_argnums=(2,))
 
 
+_SEP_ARR = np.array([SEP], np.uint8)
+
+
 class PyPacker:
-    """Pure-python fallback for utils.native.StreamPacker (slow; tests/CI)."""
+    """Pure-python fallback for utils.native.StreamPacker.
+
+    Chunk-size-invariant byte state machine with the exact emission
+    semantics of native/qm2core.c:qm2_parse_chunk — the output stream is
+    identical for ANY feed chunking (including 1-byte feeds), and
+    identical to the native packer's. FASTQ quality lines are skipped by
+    byte count (seq_len), so a '@' at a quality-line start never
+    misclassifies the record. State round-trips through
+    get_state/set_state with the same keys as the native packer, so
+    checkpoints are interchangeable.
+    """
+
+    _LINE_START, _HEADER, _SEQ, _PLUS, _QUAL = range(5)
 
     def __init__(self, mode: str):
         self.mode = mode
-        self._tail = b""
-        self._record_fasta = mode == "fasta-record"
+        self._fastq = mode == "fastq"
+        self._per_line_sep = mode != "fasta-record"
+        self._state = self._LINE_START
+        self._seq_len = 0
+        self._qual_left = 0
+        self._emitted_sep = True
 
     def feed(self, data: bytes) -> np.ndarray:
-        data = self._tail + data
-        # keep any trailing partial line for the next feed
-        cut = data.rfind(b"\n") + 1
-        self._tail = data[cut:]
-        data = data[:cut]
-        out = []
-        lines = data.split(b"\n")
-        if self.mode == "fastq":
-            # assumes 4-line records within the flushed region
-            for i, line in enumerate(lines):
-                if i % 4 == 1:
-                    out.append(codec.encode_bases(line))
-                    out.append(np.array([SEP], np.uint8))
-        else:
-            for line in lines:
-                if line.startswith(b">"):
-                    out.append(np.array([SEP], np.uint8))
-                elif line:
-                    out.append(codec.encode_bases(line))
-                    if not self._record_fasta:
-                        out.append(np.array([SEP], np.uint8))
+        out: list[np.ndarray] = []
+        i, n = 0, len(data)
+        st = self._state
+        while i < n:
+            if st == self._LINE_START:
+                c = data[i]
+                if c == 0x0A:                       # blank line
+                    i += 1
+                elif c == 0x3E or (self._fastq and c == 0x40):  # '>' / '@'
+                    st = self._HEADER
+                    self._seq_len = 0
+                    if not self._emitted_sep:
+                        out.append(_SEP_ARR)
+                        self._emitted_sep = True
+                    i += 1
+                elif self._fastq and c == 0x2B:     # '+'
+                    st = self._PLUS
+                    self._qual_left = self._seq_len
+                    i += 1
+                else:
+                    st = self._SEQ                  # reprocess byte as seq
+            elif st == self._HEADER:
+                nl = data.find(b"\n", i)
+                if nl < 0:
+                    i = n
+                else:
+                    i = nl + 1
+                    st = self._SEQ if self._fastq else self._LINE_START
+            elif st == self._SEQ:
+                if data[i] == 0x0A:
+                    st = self._LINE_START
+                    if self._per_line_sep and not self._emitted_sep:
+                        out.append(_SEP_ARR)
+                        self._emitted_sep = True
+                    i += 1
+                else:
+                    nl = data.find(b"\n", i)
+                    end = n if nl < 0 else nl
+                    codes = codec.encode_bases(data[i:end])
+                    out.append(codes)
+                    self._emitted_sep = bool(codes[-1] == SEP)
+                    if self._fastq:
+                        self._seq_len += end - i
+                    i = end
+            elif st == self._PLUS:
+                nl = data.find(b"\n", i)
+                if nl < 0:
+                    i = n
+                else:
+                    i = nl + 1
+                    st = self._QUAL
+                    if not self._emitted_sep:
+                        out.append(_SEP_ARR)
+                        self._emitted_sep = True
+            else:                                   # _QUAL: skip by count
+                while self._qual_left > 0 and i < n:
+                    if data[i] == 0x0A:
+                        i += 1
+                        continue
+                    nl = data.find(b"\n", i)
+                    end = n if nl < 0 else nl
+                    take = min(end - i, self._qual_left)
+                    self._qual_left -= take
+                    i += take
+                if self._qual_left == 0:
+                    st = self._LINE_START
+                    self._seq_len = 0
+        self._state = st
         if not out:
             return np.zeros(0, np.uint8)
         return np.concatenate(out)
+
+    # state keys match utils.native.StreamPacker for checkpoint parity
+    def get_state(self) -> dict:
+        from quickmer2_tpu.utils.native import StreamPacker
+        return {"mode": StreamPacker.MODES[self.mode], "state": self._state,
+                "seq_len": self._seq_len, "qual_left": self._qual_left,
+                "emitted_sep": int(self._emitted_sep)}
+
+    def set_state(self, d: dict) -> None:
+        self._state = int(d["state"])
+        self._seq_len = int(d["seq_len"])
+        self._qual_left = int(d["qual_left"])
+        self._emitted_sep = bool(d["emitted_sep"])
 
 
 def make_packer(mode: str):
@@ -305,19 +384,26 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
             fmt = fmt or ("fastq" if first[:1] == b"@" else "fasta-lines")
         packer = packer if resumed is not None else make_packer(fmt)
         data = first
+        overflow_counter = None
         while data:
             codes = packer.feed(data)
             if mode == "anchored":
                 if row_streamer is None:
                     if read_len is None:
-                        seps = np.flatnonzero(codes == SEP)
-                        read_len = int(seps[0]) if len(seps) else len(codes)
+                        read_len = _autodetect_read_len(codes)
                     row_streamer = RowStreamer(read_len)
                     counter = AnchoredDepthCounter(
                         index, dictionary.kmer_size, read_len)
                 rows = row_streamer.feed(codes)
                 if len(rows):
                     counter.feed_reads(rows)
+                if row_streamer.overflow:
+                    # reads wider than the row width route to the flat
+                    # per-k-mer path instead of raising (VERDICT Weak #5)
+                    if overflow_counter is None:
+                        overflow_counter = DepthCounter(
+                            dictionary, batch_bases=batch_bases)
+                    overflow_counter.feed_codes(row_streamer.take_overflow())
             else:
                 counter.feed_codes(codes)
             bytes_consumed += len(data)
@@ -337,10 +423,17 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
             tail_rows = row_streamer.finish()
             if len(tail_rows):
                 counter.feed_reads(tail_rows)
+            if row_streamer.overflow:
+                if overflow_counter is None:
+                    overflow_counter = DepthCounter(
+                        dictionary, batch_bases=batch_bases)
+                overflow_counter.feed_codes(row_streamer.take_overflow())
     finally:
         if sample_path != "-":
             stream.close()
     depth = counter.finish()
+    if mode == "anchored" and overflow_counter is not None:
+        depth = depth + overflow_counter.finish()
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
     depth_u16 = (depth & 0xFFFF).astype(np.uint16)   # Q8 wrap parity
@@ -364,6 +457,20 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
         if verbose:
             print("Mean sequencing depth: %.2f" % mean_depth)
     return stats
+
+
+def _autodetect_read_len(codes: np.ndarray, cap: int = 1024) -> int:
+    """Row width for the anchored path: the longest read in the first
+    packed chunk, rounded up to a multiple of 32 and capped (longer
+    reads route to the flat path via RowStreamer.overflow)."""
+    seps = np.flatnonzero(codes == SEP)
+    if len(seps) == 0:
+        longest = len(codes)
+    else:
+        bounds = np.concatenate([[-1], seps, [len(codes)]])
+        longest = int(np.max(bounds[1:] - bounds[:-1]) - 1)
+    longest = max(longest, 32)
+    return min(-(-longest // 32) * 32, cap)
 
 
 def _companion(qm_path: str, ext: str) -> str:

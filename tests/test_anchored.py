@@ -260,3 +260,37 @@ def test_chimeric_reads(world):
             reads.append(a + b)
     d_anch, d_direct, _ = _depths(world, reads)
     np.testing.assert_array_equal(d_anch, d_direct)
+
+
+def test_variable_length_reads_route_to_flat(tmp_path):
+    """Mixed 100/150/2000-bp reads through run_count(mode='anchored')
+    must match flat mode bit-for-bit: rows wider than the autodetected
+    row width route to the flat per-k-mer path instead of raising
+    (VERDICT Weak #5 / Next #6)."""
+    from quickmer2_tpu.io import formats
+    from quickmer2_tpu.pipelines.count import run_count
+
+    rng = np.random.default_rng(11)
+    d = str(tmp_path)
+    chrom = helpers.random_genome(rng, 30000)
+    fa = d + "/g.fa"
+    helpers.write_fasta(fa, {"c1": chrom})
+    search_pipe.run_search(
+        fa, SearchConfig(kmer_size=K, hash_size=1 << 16, edit_distance=0,
+                         window_size=100), verbose=False)
+
+    reads = (helpers.simulate_reads(rng, chrom, 300, 100)
+             + helpers.simulate_reads(rng, chrom, 200, 150)
+             + helpers.simulate_reads(rng, chrom, 6, 2000))
+    order = rng.permutation(len(reads))
+    reads = [reads[i] for i in order]
+    fq = d + "/reads.fq"
+    helpers.write_fastq(fq, reads)
+
+    run_count(fa + ".qm", fq, d + "/flat", batch_bases=1 << 16,
+              verbose=False)
+    run_count(fa + ".qm", fq, d + "/anch", batch_bases=1 << 16,
+              verbose=False, mode="anchored", ref_fasta=fa)
+    flat = formats.read_u16(d + "/flat.bin")
+    anch = formats.read_u16(d + "/anch.bin")
+    np.testing.assert_array_equal(anch, flat)
