@@ -16,6 +16,7 @@ All layouts empirically verified in SURVEY.md section 4 (little-endian):
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 
 import numpy as np
@@ -172,3 +173,68 @@ def read_cn_bed(path: str):
                 chroms.append(p[0])
                 vals.append([int(p[1]), int(p[2]), float(p[3])])
     return chroms, np.array(vals, dtype=np.float64).reshape(-1, 3)
+
+
+# -- .qai anchored-index companion (no reference counterpart; analog of
+#    the reference's derived artifacts built once at search time,
+#    QuicKmer.c:1023-1047) ------------------------------------------------
+#
+# Persists the two EXPENSIVE products of ops.anchored.AnchoredIndex so a
+# count/cohort invocation never re-scans the reference FASTA or rebuilds
+# the neighbor-hit bitmap:
+#   * genome tiles  u8[T, 64] — code stream in bits 0-2, neighbor-hit
+#     flags in bits 3-6 (ops.anchored.genome_tiles_np layout);
+#   * dict_end_pos  u32[n]    — global genome END position of each
+#     dictionary k-mer in rank order.
+# The cheap derivations (dblock prefix-count structure, packed-table
+# rows) are rebuilt at load from these plus the dictionary.
+#
+#   offset size  field
+#   0      4     magic "QAI1"
+#   4      1     kmer_size
+#   5      1     flags (bit 0: neighbor bits present)
+#   6      2     reserved (0)
+#   8      8     genome_len G (bases incl. inter-chromosome separators)
+#   16     8     n_kmers n
+#   24     8     n_tiles T (= ceil(G/64))
+#   32     64*T  tiles
+#   32+64T 4*n   dict_end_pos
+
+QAI_MAGIC = b"QAI1"
+
+
+def write_qai(path: str, k: int, genome_len: int, tiles: np.ndarray,
+              dict_end_pos: np.ndarray, has_neighbor_bits: bool) -> None:
+    tiles = np.ascontiguousarray(tiles, np.uint8)
+    pos = np.ascontiguousarray(dict_end_pos, np.uint32)
+    header = (QAI_MAGIC
+              + struct.pack("<BBH", k, int(bool(has_neighbor_bits)), 0)
+              + struct.pack("<QQQ", genome_len, len(pos), tiles.shape[0]))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(header)
+        tiles.tofile(f)
+        pos.tofile(f)
+    os.replace(tmp, path)
+
+
+def read_qai(path: str, mmap: bool = True):
+    """Returns (k, genome_len, tiles u8[T,64], dict_end_pos u32[n],
+    has_neighbor_bits). tiles/pos are memory-mapped by default."""
+    with open(path, "rb") as f:
+        head = f.read(32)
+    if head[:4] != QAI_MAGIC:
+        raise ValueError(f"{path}: bad magic {head[:4]!r}, expected QAI1")
+    k, flags, _ = struct.unpack("<BBH", head[4:8])
+    genome_len, n, n_tiles = struct.unpack("<QQQ", head[8:32])
+    if mmap:
+        tiles = np.memmap(path, np.uint8, "r", offset=32,
+                          shape=(n_tiles, 64))
+        pos = np.memmap(path, np.uint32, "r", offset=32 + 64 * n_tiles,
+                        shape=(n,))
+    else:
+        with open(path, "rb") as f:
+            f.seek(32)
+            tiles = np.fromfile(f, np.uint8, n_tiles * 64).reshape(n_tiles, 64)
+            pos = np.fromfile(f, np.uint32, n)
+    return k, genome_len, tiles, pos, bool(flags & 1)

@@ -66,7 +66,8 @@ class AnchoredIndex:
     def build(cls, genome_codes: np.ndarray, dict_end_pos: np.ndarray,
               kmers_in_order: np.ndarray, k: int,
               neighbor_bits: bool = True,
-              device_build: bool = False) -> "AnchoredIndex":
+              device_build: bool = False,
+              cache_path: str | None = None) -> "AnchoredIndex":
         """genome_codes: u8[G] concatenated code stream (with SEP between
         chromosomes); dict_end_pos: u32[n] global end position of each
         dictionary k-mer in rank order; kmers_in_order: u64[n].
@@ -75,11 +76,16 @@ class AnchoredIndex:
         neighbor-hit bitmap and packs it into the genome tile bytes,
         letting the count kernel prove most error-containing reads
         contribute nothing through their dirty windows (no extra random
-        accesses — the window fetch already brings the bytes)."""
+        accesses — the window fetch already brings the bytes).
+
+        cache_path persists the expensive products (tiles incl. bitmap,
+        per-rank positions) as a .qai companion (io.formats.write_qai) so
+        later invocations load instead of rebuilding — the analog of the
+        reference's derived artifacts built once at search time
+        (QuicKmer.c:1023-1047)."""
         G = len(genome_codes)
-        n = len(dict_end_pos)
         khi, klo = codec.split_u64(kmers_in_order)
-        rank = np.arange(n, dtype=np.uint32)
+        rank = np.arange(len(dict_end_pos), dtype=np.uint32)
         table = PackedTable.build(khi, klo, rank,
                                   pos=np.asarray(dict_end_pos, np.uint32))
 
@@ -88,19 +94,56 @@ class AnchoredIndex:
         nbits = (builder(genome_codes, table.rows, table.n_buckets, k)
                  if neighbor_bits else None)
         tiles = genome_tiles_np(genome_codes, nbits)
-        dblock = build_dblock(dict_end_pos, G)
+        if cache_path:
+            from quickmer2_tpu.io import formats
+            formats.write_qai(cache_path, k, G, tiles, dict_end_pos,
+                              neighbor_bits)
+        return cls._assemble(tiles, G, dict_end_pos, table, neighbor_bits)
+
+    @classmethod
+    def _assemble(cls, tiles, G: int, dict_end_pos, table: PackedTable,
+                  has_neighbor_bits: bool) -> "AnchoredIndex":
+        dblock = build_dblock(np.asarray(dict_end_pos), G)
         return cls(jnp.asarray(table.rows), table.n_buckets,
-                   jnp.asarray(tiles), G, jnp.asarray(dblock), n,
-                   has_neighbor_bits=neighbor_bits)
+                   jnp.asarray(np.ascontiguousarray(tiles)), G,
+                   jnp.asarray(dblock), len(dict_end_pos),
+                   has_neighbor_bits=has_neighbor_bits)
+
+    @classmethod
+    def load(cls, qai_path: str, dic) -> "AnchoredIndex":
+        """Load a persisted .qai companion; the cheap derivations (dblock,
+        packed rows) are rebuilt from it plus the dictionary. Raises
+        ValueError when the artifact does not match the dictionary."""
+        from quickmer2_tpu.io import formats
+        k, G, tiles, pos, nb = formats.read_qai(qai_path)
+        if k != dic.kmer_size or len(pos) != dic.n_kmers:
+            raise ValueError(
+                f"{qai_path}: built for k={k}, n={len(pos)} but dictionary "
+                f"has k={dic.kmer_size}, n={dic.n_kmers} — stale artifact")
+        pos = np.asarray(pos, np.uint32)
+        khi, klo = codec.split_u64(dic.kmers_in_order)
+        rank = np.arange(dic.n_kmers, dtype=np.uint32)
+        table = PackedTable.build(khi, klo, rank, pos=pos)
+        return cls._assemble(tiles, G, pos, table, nb)
 
     @classmethod
     def from_dictionary_and_fasta(cls, dic, fasta_path: str,
-                                  neighbor_bits: bool = True) -> "AnchoredIndex":
+                                  neighbor_bits: bool = True,
+                                  cache_path: str | None = None,
+                                  ) -> "AnchoredIndex":
         """Recover genome stream + per-rank positions by scanning the
-        reference FASTA against an (imported or built) Dictionary."""
+        reference FASTA against an (imported or built) Dictionary. With
+        cache_path, an existing matching .qai is loaded instead (zero
+        FASTA scanning) and a fresh build is persisted there."""
+        import os
+        if cache_path and os.path.exists(cache_path):
+            try:
+                return cls.load(cache_path, dic)
+            except ValueError:
+                pass  # stale artifact — rebuild and overwrite below
         stream, dict_pos = _genome_stream_and_positions(dic, fasta_path)
         return cls.build(stream, dict_pos, dic.kmers_in_order, dic.kmer_size,
-                         neighbor_bits=neighbor_bits)
+                         neighbor_bits=neighbor_bits, cache_path=cache_path)
 
 
 def _genome_stream_and_positions(dic, fasta_path: str):
@@ -734,15 +777,47 @@ class AnchoredDepthCounter:
             self._pending_rows = len(self._pending[0])
             self._run(buf[: self.batch_reads])
 
-    def _run(self, batch: np.ndarray) -> None:
+    # -- device-step hooks (overridden by the sharded counter) ---------
+
+    def _tier_kw(self, tier: int) -> dict:
+        if tier == 1:
+            return dict(k=self.k, read_len=self.read_len,
+                        n_buckets=self.index.n_buckets,
+                        anchor_offsets=self.anchor_offsets,
+                        max_runs=self.max_runs, max_dirty=self.max_dirty,
+                        neighbor_mode=self.neighbor_mode)
+        return dict(k=self.k, read_len=self.read_len,
+                    n_buckets=self.index.n_buckets,
+                    anchor_offsets=self.anchor_offsets,
+                    max_runs=self.tier2_max_runs,
+                    max_dirty=self.tier2_max_dirty,
+                    max_dirty_runs=self.tier2_dirty_runs,
+                    dirty_run_width=self.tier2_run_width)
+
+    def _kernel_step(self, batch: np.ndarray, tier: int) -> np.ndarray:
+        """Run one anchored batch on device, accumulate into self.diff,
+        return the host spill mask."""
         ix = self.index
-        reads = jnp.asarray(batch)
         self.diff, spilled = anchored_count_batch(
-            reads, ix.rows, ix.genome_tiles, ix.dblock, self.diff,
-            None, k=self.k, read_len=self.read_len, n_buckets=ix.n_buckets,
-            anchor_offsets=self.anchor_offsets, max_runs=self.max_runs,
-            max_dirty=self.max_dirty, neighbor_mode=self.neighbor_mode)
-        sp = np.asarray(spilled)
+            jnp.asarray(batch), ix.rows, ix.genome_tiles, ix.dblock,
+            self.diff, None, **self._tier_kw(tier))
+        return np.asarray(spilled)
+
+    def _exact_step(self, batch: np.ndarray) -> None:
+        ix = self.index
+        self.exact_acc = exact_count_rows(
+            jnp.asarray(batch), jnp.ones(len(batch), bool), ix.rows,
+            self.exact_acc, k=self.k, n_buckets=ix.n_buckets)
+
+    def _merged_accumulators(self) -> tuple[np.ndarray, np.ndarray]:
+        diff = np.asarray(jax.device_get(self.diff)).astype(np.uint32)
+        acc = np.asarray(jax.device_get(self.exact_acc)).astype(np.uint32)
+        return diff, acc
+
+    # -------------------------------------------------------------------
+
+    def _run(self, batch: np.ndarray) -> None:
+        sp = self._kernel_step(batch, tier=1)
         self.n_reads += len(batch)
         if sp.any():
             self.n_spilled += int(sp.sum())
@@ -758,16 +833,7 @@ class AnchoredDepthCounter:
         if self.tier2_run_width == 0 and self.tier2_max_dirty == 0:
             self._run_exact(batch)
             return
-        ix = self.index
-        reads = jnp.asarray(batch)
-        self.diff, spilled = anchored_count_batch(
-            reads, ix.rows, ix.genome_tiles, ix.dblock, self.diff,
-            None, k=self.k, read_len=self.read_len, n_buckets=ix.n_buckets,
-            anchor_offsets=self.anchor_offsets, max_runs=self.tier2_max_runs,
-            max_dirty=self.tier2_max_dirty,
-            max_dirty_runs=self.tier2_dirty_runs,
-            dirty_run_width=self.tier2_run_width)
-        sp = np.asarray(spilled)
+        sp = self._kernel_step(batch, tier=2)
         if sp.any():
             self.n_spilled2 += int(sp.sum())
             self._spill2.append(batch[sp])
@@ -779,10 +845,7 @@ class AnchoredDepthCounter:
                 self._run_exact(buf[: self.batch_reads])
 
     def _run_exact(self, batch: np.ndarray) -> None:
-        ix = self.index
-        self.exact_acc = exact_count_rows(
-            jnp.asarray(batch), jnp.ones(len(batch), bool), ix.rows,
-            self.exact_acc, k=self.k, n_buckets=ix.n_buckets)
+        self._exact_step(batch)
 
     def finish(self) -> np.ndarray:
         if self._pending_rows:
@@ -812,8 +875,7 @@ class AnchoredDepthCounter:
             for off in range(0, len(buf), self.batch_reads):
                 self._run_exact(buf[off: off + self.batch_reads])
             self._spill2, self._spill2_rows = [], 0
-        diff = np.asarray(jax.device_get(self.diff)).astype(np.uint32)
-        acc = np.asarray(jax.device_get(self.exact_acc)).astype(np.uint32)
+        diff, acc = self._merged_accumulators()
         depth = np.cumsum(diff, dtype=np.uint32)[: self.index.n_kmers]
         depth += acc[: self.index.n_kmers]
         return depth

@@ -1,0 +1,120 @@
+"""Multi-device anchored count: the flagship fast path (ops.anchored)
+data-parallel over a ("data",) mesh axis.
+
+Sharding plan (SURVEY.md section 2.3 axis (a); replaces the reference's
+count worker pool, QuicKmer.c:256-296, at pod scale):
+
+  * reads       — P("data", None, None): each device anchors/verifies a
+                  disjoint slice of every read batch;
+  * rows/tiles/dblock — replicated (P()): the genome tiles (~3.1 GB at
+                  GRCh38) and dblock (~0.8 GB) fit v5p HBM; the packed
+                  rows are the large one (~69 GB at load 0.5) — bucket-
+                  block sharding of rows over a "dict" axis exists on
+                  the flat path (parallel.count_parallel) and is the
+                  escape hatch when rows exceed HBM;
+  * diff/exact accumulators — P("data", None) per-device partials,
+                  merged by ONE device reduction at finish (the psum
+                  analog of the reference's atomic u16 adds).
+
+Spill routing is unchanged from the single-device counter: shard_map
+returns the per-read spill masks (device order == host order because
+read slices are contiguous), the host compacts spilled reads into dense
+batches and re-feeds them through tier 2 / the exact path — so every
+tier runs sharded, not just tier 1.
+
+Determinism: static shard boundaries + deterministic scatter-adds + a
+fixed-order final reduction give bit-identical .bin for every mesh
+shape (tests/test_parallel.py::test_anchored_sharded_matches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quickmer2_tpu.ops.anchored import (
+    AnchoredDepthCounter, AnchoredIndex, anchored_count_kernel,
+    exact_count_rows)
+
+
+class ShardedAnchoredCounter(AnchoredDepthCounter):
+    """AnchoredDepthCounter whose device steps run under shard_map over
+    the mesh's "data" axis. Same feed_reads/finish interface and
+    bit-identical output."""
+
+    def __init__(self, index: AnchoredIndex, k: int, read_len: int,
+                 mesh: Mesh, batch_reads: int = 1 << 15, **kw):
+        self.mesh = mesh
+        self.dp = mesh.shape["data"]
+        batch_reads = -(-batch_reads // self.dp) * self.dp
+        super().__init__(index, k, read_len, batch_reads=batch_reads, **kw)
+        rep = NamedSharding(mesh, P())
+        self._rows = jax.device_put(index.rows, rep)
+        self._tiles = jax.device_put(index.genome_tiles, rep)
+        self._dblock = jax.device_put(index.dblock, rep)
+        self._sh_reads = NamedSharding(mesh, P("data", None, None))
+        sh_acc = NamedSharding(mesh, P("data", None))
+        n = index.n_kmers
+        self.diff = jax.device_put(
+            np.zeros((self.dp, n + 2), np.uint32), sh_acc)
+        self.exact_acc = jax.device_put(
+            np.zeros((self.dp, n + 2), np.uint32), sh_acc)
+        self._steps: dict = {}
+
+    # -- shard_map-wrapped device steps --------------------------------
+
+    def _make_step(self, tier: int):
+        kw = self._tier_kw(tier)
+
+        def local(reads, rows, tiles, dblock, diff):
+            d, sp = anchored_count_kernel(
+                reads[0], rows, tiles, dblock, diff[0], None, **kw)
+            return d[None], sp[None]
+
+        smapped = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("data", None, None), P(), P(), P(),
+                      P("data", None)),
+            out_specs=(P("data", None), P("data", None)))
+        return jax.jit(smapped, donate_argnums=(4,))
+
+    def _make_exact_step(self):
+        k, nb = self.k, self.index.n_buckets
+
+        def local(reads, rows, depth):
+            mask = jnp.ones(reads.shape[1], bool)
+            return exact_count_rows(reads[0], mask, rows, depth[0],
+                                    k=k, n_buckets=nb)[None]
+
+        smapped = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("data", None, None), P(), P("data", None)),
+            out_specs=P("data", None))
+        return jax.jit(smapped, donate_argnums=(2,))
+
+    def _kernel_step(self, batch: np.ndarray, tier: int) -> np.ndarray:
+        if tier not in self._steps:
+            self._steps[tier] = self._make_step(tier)
+        shards = batch.reshape(self.dp, -1, self.read_len)
+        reads = jax.device_put(shards, self._sh_reads)
+        self.diff, spilled = self._steps[tier](
+            reads, self._rows, self._tiles, self._dblock, self.diff)
+        return np.asarray(spilled).reshape(-1)
+
+    def _exact_step(self, batch: np.ndarray) -> None:
+        if "exact" not in self._steps:
+            self._steps["exact"] = self._make_exact_step()
+        shards = batch.reshape(self.dp, -1, self.read_len)
+        reads = jax.device_put(shards, self._sh_reads)
+        self.exact_acc = self._steps["exact"](
+            reads, self._rows, self.exact_acc)
+
+    def _merged_accumulators(self):
+        merged = jax.jit(lambda d, a: (jnp.sum(d, axis=0, dtype=jnp.uint32),
+                                       jnp.sum(a, axis=0, dtype=jnp.uint32)))(
+            self.diff, self.exact_acc)
+        diff, acc = (np.asarray(jax.device_get(x)) for x in merged)
+        return diff.astype(np.uint32), acc.astype(np.uint32)

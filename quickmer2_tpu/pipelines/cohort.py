@@ -34,7 +34,8 @@ def run_cohort(qm_path: str, samples: list[tuple[str, str]],
         from quickmer2_tpu.ops.anchored import AnchoredIndex
         if ref_fasta is None:
             ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
-        index = AnchoredIndex.from_dictionary_and_fasta(dictionary, ref_fasta)
+        index = AnchoredIndex.from_dictionary_and_fasta(
+            dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
 
     qgc_path = _companion(qm_path, ".qgc")
     if not os.path.exists(qgc_path):

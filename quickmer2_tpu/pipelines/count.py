@@ -333,7 +333,8 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
               mode: str = "flat", ref_fasta: str | None = None,
               read_len: int | None = None,
               checkpoint_path: str | None = None,
-              checkpoint_every_bytes: int = 1 << 30) -> dict:
+              checkpoint_every_bytes: int = 1 << 30,
+              data_devices: int | None = None) -> dict:
     """Full count phase: .qm + reads → <out_prefix>.bin (+ .txt if the
     dictionary's .qgc companion exists). Returns summary stats.
 
@@ -342,6 +343,10 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
                       rows anchored against the genome; requires
                       ref_fasta (the genome the dictionary was built
                       from). Bit-identical output to flat mode.
+    data_devices    — shard the count over this many local devices on a
+                      ("data",) mesh (parallel.anchored_parallel /
+                      parallel.count_parallel); None = single device.
+                      Output is bit-identical to single-device.
     """
     t0 = time.time()
     dictionary = Dictionary.from_qm(qm_path)
@@ -351,7 +356,15 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
             AnchoredDepthCounter, AnchoredIndex, RowStreamer)
         if ref_fasta is None:
             ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
-        index = AnchoredIndex.from_dictionary_and_fasta(dictionary, ref_fasta)
+        # persisted companion: first anchored count builds <fasta>.qai,
+        # every later one loads it (zero FASTA scanning / bitmap rebuild)
+        index = AnchoredIndex.from_dictionary_and_fasta(
+            dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
+    elif data_devices and data_devices > 1:
+        from quickmer2_tpu.parallel.count_parallel import ShardedDepthCounter
+        from quickmer2_tpu.parallel.mesh import make_mesh
+        counter = ShardedDepthCounter(dictionary, make_mesh(data_devices, 1),
+                                      batch_bases=batch_bases)
     else:
         counter = DepthCounter(dictionary, batch_bases=batch_bases)
     import sys
@@ -392,8 +405,16 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
                     if read_len is None:
                         read_len = _autodetect_read_len(codes)
                     row_streamer = RowStreamer(read_len)
-                    counter = AnchoredDepthCounter(
-                        index, dictionary.kmer_size, read_len)
+                    if data_devices and data_devices > 1:
+                        from quickmer2_tpu.parallel.anchored_parallel import (
+                            ShardedAnchoredCounter)
+                        from quickmer2_tpu.parallel.mesh import make_mesh
+                        counter = ShardedAnchoredCounter(
+                            index, dictionary.kmer_size, read_len,
+                            make_mesh(data_devices, 1))
+                    else:
+                        counter = AnchoredDepthCounter(
+                            index, dictionary.kmer_size, read_len)
                 rows = row_streamer.feed(codes)
                 if len(rows):
                     counter.feed_reads(rows)
