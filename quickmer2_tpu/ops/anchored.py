@@ -762,6 +762,12 @@ class AnchoredDepthCounter:
         self._spill_rows = 0
         self._spill2: list[np.ndarray] = []
         self._spill2_rows = 0
+        # spill masks are fetched LAGGED so the per-batch device→host
+        # sync (tens of ms on a remote-tunnel backend) overlaps the next
+        # batches' device work instead of serializing with it
+        import collections
+        self._inflight = collections.deque()
+        self._lag = 3
         self.n_reads = 0
         self.n_spilled = 0
         self.n_spilled2 = 0
@@ -794,14 +800,15 @@ class AnchoredDepthCounter:
                     max_dirty_runs=self.tier2_dirty_runs,
                     dirty_run_width=self.tier2_run_width)
 
-    def _kernel_step(self, batch: np.ndarray, tier: int) -> np.ndarray:
+    def _kernel_step(self, batch: np.ndarray, tier: int):
         """Run one anchored batch on device, accumulate into self.diff,
-        return the host spill mask."""
+        return the spill mask (device array or ndarray; materialized
+        lazily by _drain_one)."""
         ix = self.index
         self.diff, spilled = anchored_count_batch(
             jnp.asarray(batch), ix.rows, ix.genome_tiles, ix.dblock,
             self.diff, None, **self._tier_kw(tier))
-        return np.asarray(spilled)
+        return spilled
 
     def _exact_step(self, batch: np.ndarray) -> None:
         ix = self.index
@@ -817,27 +824,44 @@ class AnchoredDepthCounter:
     # -------------------------------------------------------------------
 
     def _run(self, batch: np.ndarray) -> None:
-        sp = self._kernel_step(batch, tier=1)
+        mask = self._kernel_step(batch, tier=1)
         self.n_reads += len(batch)
-        if sp.any():
-            self.n_spilled += int(sp.sum())
-            self._spill.append(batch[sp])
-            self._spill_rows += int(sp.sum())
-            while self._spill_rows >= self.batch_reads:
-                buf = np.concatenate(self._spill)
-                self._spill = [buf[self.batch_reads:]]
-                self._spill_rows = len(self._spill[0])
-                self._run_tier2(buf[: self.batch_reads])
+        self._inflight.append((batch, mask, 1))
+        while len(self._inflight) > self._lag:
+            self._drain_one()
 
     def _run_tier2(self, batch: np.ndarray) -> None:
         if self.tier2_run_width == 0 and self.tier2_max_dirty == 0:
             self._run_exact(batch)
             return
-        sp = self._kernel_step(batch, tier=2)
-        if sp.any():
-            self.n_spilled2 += int(sp.sum())
+        mask = self._kernel_step(batch, tier=2)
+        self._inflight.append((batch, mask, 2))
+        while len(self._inflight) > self._lag:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        """Materialize the oldest in-flight spill mask and route its
+        spilled reads (tier1 → the tier-2 queue, tier2 → the exact
+        queue). Queues flush into _run_tier2/_run_exact when a full
+        dense batch accumulates."""
+        batch, mask, tier = self._inflight.popleft()
+        sp = np.asarray(mask).reshape(-1).astype(bool)
+        n_sp = int(sp.sum())
+        if not n_sp:
+            return
+        if tier == 1:
+            self.n_spilled += n_sp
+            self._spill.append(batch[sp])
+            self._spill_rows += n_sp
+            while self._spill_rows >= self.batch_reads:
+                buf = np.concatenate(self._spill)
+                self._spill = [buf[self.batch_reads:]]
+                self._spill_rows = len(self._spill[0])
+                self._run_tier2(buf[: self.batch_reads])
+        else:
+            self.n_spilled2 += n_sp
             self._spill2.append(batch[sp])
-            self._spill2_rows += int(sp.sum())
+            self._spill2_rows += n_sp
             while self._spill2_rows >= self.batch_reads:
                 buf = np.concatenate(self._spill2)
                 self._spill2 = [buf[self.batch_reads:]]
@@ -847,34 +871,30 @@ class AnchoredDepthCounter:
     def _run_exact(self, batch: np.ndarray) -> None:
         self._exact_step(batch)
 
+    def _flush_padded(self, parts: list[np.ndarray], runner) -> None:
+        buf = np.concatenate(parts)
+        pad_rows = (-len(buf)) % self.batch_reads
+        if pad_rows:
+            buf = np.concatenate(
+                [buf, np.full((pad_rows, self.read_len), codec.SEP, np.uint8)])
+        for off in range(0, len(buf), self.batch_reads):
+            runner(buf[off: off + self.batch_reads])
+
     def finish(self) -> np.ndarray:
         if self._pending_rows:
-            buf = np.concatenate(self._pending)
-            pad_rows = (-len(buf)) % self.batch_reads
-            if pad_rows:
-                buf = np.concatenate(
-                    [buf, np.full((pad_rows, self.read_len), codec.SEP, np.uint8)])
-            for off in range(0, len(buf), self.batch_reads):
-                self._run(buf[off: off + self.batch_reads])
+            self._flush_padded(self._pending, self._run)
             self._pending, self._pending_rows = [], 0
-        if self._spill_rows:
-            buf = np.concatenate(self._spill)
-            pad_rows = (-len(buf)) % self.batch_reads
-            if pad_rows:
-                buf = np.concatenate(
-                    [buf, np.full((pad_rows, self.read_len), codec.SEP, np.uint8)])
-            for off in range(0, len(buf), self.batch_reads):
-                self._run_tier2(buf[off: off + self.batch_reads])
-            self._spill, self._spill_rows = [], 0
-        if self._spill2_rows:
-            buf = np.concatenate(self._spill2)
-            pad_rows = (-len(buf)) % self.batch_reads
-            if pad_rows:
-                buf = np.concatenate(
-                    [buf, np.full((pad_rows, self.read_len), codec.SEP, np.uint8)])
-            for off in range(0, len(buf), self.batch_reads):
-                self._run_exact(buf[off: off + self.batch_reads])
-            self._spill2, self._spill2_rows = [], 0
+        # drain lagged spill masks; routing tier-1 spills enqueues tier-2
+        # work (and so on), so loop until everything has settled
+        while self._inflight or self._spill_rows or self._spill2_rows:
+            while self._inflight:
+                self._drain_one()
+            if self._spill_rows:
+                parts, self._spill, self._spill_rows = self._spill, [], 0
+                self._flush_padded(parts, self._run_tier2)
+            elif self._spill2_rows:
+                parts, self._spill2, self._spill2_rows = self._spill2, [], 0
+                self._flush_padded(parts, self._run_exact)
         diff, acc = self._merged_accumulators()
         depth = np.cumsum(diff, dtype=np.uint32)[: self.index.n_kmers]
         depth += acc[: self.index.n_kmers]
@@ -894,6 +914,16 @@ def rows_from_flat_codes(codes: np.ndarray, read_len: int,
     if len(codes) == 0:
         rows = np.zeros((0, read_len), np.uint8)
         return (rows, empty_over) if with_overflow else rows
+    # fast path: uniform-length reads, exactly (read_len+1)-periodic
+    # stream (the dominant FASTQ shape) → a reshape, no gather
+    L1 = read_len + 1
+    if len(codes) % L1 == 0 and len(codes) and codes[read_len] == codec.SEP:
+        n = len(codes) // L1
+        mat = codes.reshape(n, L1)
+        if (mat[:, read_len] == codec.SEP).all() and not \
+                (mat[:, :read_len] == codec.SEP).any():
+            rows = np.ascontiguousarray(mat[:, :read_len])
+            return (rows, empty_over) if with_overflow else rows
     sep_idx = np.flatnonzero(codes == codec.SEP)
     bounds = np.concatenate([[-1], sep_idx, [len(codes)]])
     starts = bounds[:-1] + 1
@@ -915,9 +945,14 @@ def rows_from_flat_codes(codes: np.ndarray, read_len: int,
     if len(starts) == 0:
         rows = np.zeros((0, read_len), np.uint8)
         return (rows, overflow) if with_overflow else rows
-    idx = starts[:, None] + np.arange(read_len)[None, :]
-    rows = codes[np.minimum(idx, len(codes) - 1)]
-    rows[np.arange(read_len)[None, :] >= lens[:, None]] = codec.SEP
+    codes_pad = np.concatenate([codes, np.full(read_len, codec.SEP, np.uint8)])
+    idx = starts.astype(np.int64)[:, None] + np.arange(read_len)[None, :]
+    rows = codes_pad[idx]
+    short = lens < read_len
+    if short.any():
+        rows[short] = np.where(
+            np.arange(read_len)[None, :] >= lens[short][:, None],
+            codec.SEP, rows[short])
     return (rows, overflow) if with_overflow else rows
 
 

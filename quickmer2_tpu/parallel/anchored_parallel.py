@@ -95,14 +95,14 @@ class ShardedAnchoredCounter(AnchoredDepthCounter):
             out_specs=P("data", None))
         return jax.jit(smapped, donate_argnums=(2,))
 
-    def _kernel_step(self, batch: np.ndarray, tier: int) -> np.ndarray:
+    def _kernel_step(self, batch: np.ndarray, tier: int):
         if tier not in self._steps:
             self._steps[tier] = self._make_step(tier)
         shards = batch.reshape(self.dp, -1, self.read_len)
         reads = jax.device_put(shards, self._sh_reads)
         self.diff, spilled = self._steps[tier](
             reads, self._rows, self._tiles, self._dblock, self.diff)
-        return np.asarray(spilled).reshape(-1)
+        return spilled  # (dp, batch/dp) device mask; drained lazily
 
     def _exact_step(self, batch: np.ndarray) -> None:
         if "exact" not in self._steps:
