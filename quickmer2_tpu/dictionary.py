@@ -55,6 +55,14 @@ class Dictionary:
         """Canonical codes in genome order (u64[n_kmers])."""
         return np.asarray(self.table)[self.chain_slots]
 
+    @property
+    def fingerprint(self) -> int:
+        """Content hash of (k, the ordered k-mer set) — identifies the
+        dictionary regardless of slot placement history. Used to detect
+        stale derived artifacts (.qai) built for a different dictionary
+        over the same genome (e.g. rebuilt with different -d)."""
+        return content_fingerprint(self.kmers_in_order, self.kmer_size)
+
     # -- construction ----------------------------------------------------
 
     @classmethod
@@ -112,6 +120,17 @@ class Dictionary:
         """(table_hi, table_lo, rank) as host numpy ready for jnp.asarray."""
         hi, lo = codec.split_u64(np.asarray(self.table))
         return hi, lo, np.asarray(self.rank, dtype=np.int32)
+
+
+def content_fingerprint(kmers_in_order: np.ndarray, kmer_size: int) -> int:
+    """64-bit content hash of a dictionary: blake2b over k plus the
+    genome-ordered canonical codes. Order-sensitive by design (the rank
+    coordinate system is part of the contract)."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=8)
+    h.update(bytes([kmer_size]))
+    h.update(np.ascontiguousarray(kmers_in_order, "<u8").tobytes())
+    return int.from_bytes(h.digest(), "little")
 
 
 def make_rank(hash_size: int, chain_slots: np.ndarray) -> np.ndarray:

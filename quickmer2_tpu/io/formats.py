@@ -190,26 +190,37 @@ def read_cn_bed(path: str):
 # rows) are rebuilt at load from these plus the dictionary.
 #
 #   offset size  field
-#   0      4     magic "QAI1"
+#   0      4     magic "QAI2"
 #   4      1     kmer_size
 #   5      1     flags (bit 0: neighbor bits present)
 #   6      2     reserved (0)
 #   8      8     genome_len G (bases incl. inter-chromosome separators)
 #   16     8     n_kmers n
 #   24     8     n_tiles T (= ceil(G/64))
-#   32     64*T  tiles
-#   32+64T 4*n   dict_end_pos
+#   32     8     dictionary content fingerprint
+#               (dictionary.content_fingerprint: blake2b-64 over k plus
+#                the genome-ordered canonical codes) — a rebuilt
+#                dictionary with the same k and n but a different k-mer
+#                set (e.g. different -d) must invalidate the artifact
+#   40     64*T  tiles
+#   40+64T 4*n   dict_end_pos
+#
+# "QAI1" (no fingerprint field) is no longer accepted: read_qai raises
+# ValueError and the caller falls back to a rebuild-and-overwrite.
 
-QAI_MAGIC = b"QAI1"
+QAI_MAGIC = b"QAI2"
+_QAI_HEADER = 40
 
 
 def write_qai(path: str, k: int, genome_len: int, tiles: np.ndarray,
-              dict_end_pos: np.ndarray, has_neighbor_bits: bool) -> None:
+              dict_end_pos: np.ndarray, has_neighbor_bits: bool,
+              fingerprint: int) -> None:
     tiles = np.ascontiguousarray(tiles, np.uint8)
     pos = np.ascontiguousarray(dict_end_pos, np.uint32)
     header = (QAI_MAGIC
               + struct.pack("<BBH", k, int(bool(has_neighbor_bits)), 0)
-              + struct.pack("<QQQ", genome_len, len(pos), tiles.shape[0]))
+              + struct.pack("<QQQQ", genome_len, len(pos), tiles.shape[0],
+                            fingerprint))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(header)
@@ -220,21 +231,23 @@ def write_qai(path: str, k: int, genome_len: int, tiles: np.ndarray,
 
 def read_qai(path: str, mmap: bool = True):
     """Returns (k, genome_len, tiles u8[T,64], dict_end_pos u32[n],
-    has_neighbor_bits). tiles/pos are memory-mapped by default."""
+    has_neighbor_bits, fingerprint). tiles/pos are memory-mapped by
+    default."""
     with open(path, "rb") as f:
-        head = f.read(32)
+        head = f.read(_QAI_HEADER)
     if head[:4] != QAI_MAGIC:
-        raise ValueError(f"{path}: bad magic {head[:4]!r}, expected QAI1")
+        raise ValueError(f"{path}: bad magic {head[:4]!r}, expected QAI2")
     k, flags, _ = struct.unpack("<BBH", head[4:8])
-    genome_len, n, n_tiles = struct.unpack("<QQQ", head[8:32])
+    genome_len, n, n_tiles, fingerprint = struct.unpack("<QQQQ", head[8:40])
+    off = _QAI_HEADER
     if mmap:
-        tiles = np.memmap(path, np.uint8, "r", offset=32,
+        tiles = np.memmap(path, np.uint8, "r", offset=off,
                           shape=(n_tiles, 64))
-        pos = np.memmap(path, np.uint32, "r", offset=32 + 64 * n_tiles,
+        pos = np.memmap(path, np.uint32, "r", offset=off + 64 * n_tiles,
                         shape=(n,))
     else:
         with open(path, "rb") as f:
-            f.seek(32)
+            f.seek(off)
             tiles = np.fromfile(f, np.uint8, n_tiles * 64).reshape(n_tiles, 64)
             pos = np.fromfile(f, np.uint32, n)
-    return k, genome_len, tiles, pos, bool(flags & 1)
+    return k, genome_len, tiles, pos, bool(flags & 1), fingerprint

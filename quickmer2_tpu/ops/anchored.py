@@ -34,6 +34,7 @@ against the direct path on adversarial inputs.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 
@@ -96,8 +97,10 @@ class AnchoredIndex:
         tiles = genome_tiles_np(genome_codes, nbits)
         if cache_path:
             from quickmer2_tpu.io import formats
+            from quickmer2_tpu.dictionary import content_fingerprint
             formats.write_qai(cache_path, k, G, tiles, dict_end_pos,
-                              neighbor_bits)
+                              neighbor_bits,
+                              content_fingerprint(kmers_in_order, k))
         return cls._assemble(tiles, G, dict_end_pos, table, neighbor_bits)
 
     @classmethod
@@ -115,11 +118,16 @@ class AnchoredIndex:
         packed rows) are rebuilt from it plus the dictionary. Raises
         ValueError when the artifact does not match the dictionary."""
         from quickmer2_tpu.io import formats
-        k, G, tiles, pos, nb = formats.read_qai(qai_path)
+        k, G, tiles, pos, nb, fp = formats.read_qai(qai_path)
         if k != dic.kmer_size or len(pos) != dic.n_kmers:
             raise ValueError(
                 f"{qai_path}: built for k={k}, n={len(pos)} but dictionary "
                 f"has k={dic.kmer_size}, n={dic.n_kmers} — stale artifact")
+        if fp != dic.fingerprint:
+            raise ValueError(
+                f"{qai_path}: dictionary content fingerprint mismatch "
+                f"({fp:#018x} != {dic.fingerprint:#018x}) — the dictionary "
+                f"was rebuilt with a different k-mer set; stale artifact")
         pos = np.asarray(pos, np.uint32)
         khi, klo = codec.split_u64(dic.kmers_in_order)
         rank = np.arange(dic.n_kmers, dtype=np.uint32)
@@ -722,7 +730,8 @@ class AnchoredDepthCounter:
                  tier2_max_runs: int = 6, tier2_dirty_runs: int = 2,
                  tier2_run_width: int = 32,
                  anchor_offsets: tuple | None = None,
-                 neighbor_mode: bool | None = None):
+                 neighbor_mode: bool | None = None,
+                 spill_lag: int = 3):
         self.index = index
         self.k = k
         self.read_len = read_len
@@ -762,12 +771,15 @@ class AnchoredDepthCounter:
         self._spill_rows = 0
         self._spill2: list[np.ndarray] = []
         self._spill2_rows = 0
-        # spill masks are fetched LAGGED so the per-batch device→host
-        # sync (tens of ms on a remote-tunnel backend) overlaps the next
-        # batches' device work instead of serializing with it
-        import collections
+        # spill masks are fetched LAGGED (up to spill_lag batches deep)
+        # so the per-batch device→host sync (tens of ms on a
+        # remote-tunnel backend) overlaps the next batches' device work
+        # instead of serializing with it. Consequence: n_spilled /
+        # n_spilled2 lag the fed batches and are only FINAL after
+        # finish(); snapshot() drains the queue first so checkpoints
+        # never observe stale counters.
         self._inflight = collections.deque()
-        self._lag = 3
+        self._lag = spill_lag
         self.n_reads = 0
         self.n_spilled = 0
         self.n_spilled2 = 0
