@@ -912,6 +912,55 @@ class AnchoredDepthCounter:
         depth += acc[: self.index.n_kmers]
         return depth
 
+    # -- checkpoint/resume ----------------------------------------------
+
+    def _put_accumulators(self, diff: np.ndarray, acc: np.ndarray) -> None:
+        """Load host accumulator snapshots back onto device (overridden
+        by the sharded counter to re-apply the mesh sharding)."""
+        self.diff = jnp.asarray(diff)
+        self.exact_acc = jnp.asarray(acc)
+
+    def _cat_rows(self, parts: list[np.ndarray]) -> np.ndarray:
+        if not parts:
+            return np.zeros((0, self.read_len), np.uint8)
+        return np.concatenate(parts)
+
+    def snapshot(self) -> tuple[dict, dict]:
+        """Settle all in-flight device work, then capture the full
+        counter state as (arrays, meta). With the byte offset and parser
+        state held by the caller this determines the remaining
+        computation exactly; restore() + the same remaining stream
+        reproduces finish() bit-for-bit. Draining _inflight first means
+        the spill counters in meta are exact, never lagged."""
+        while self._inflight:
+            self._drain_one()
+        arrays = {"diff": np.asarray(jax.device_get(self.diff)),
+                  "exact_acc": np.asarray(jax.device_get(self.exact_acc)),
+                  "pending": self._cat_rows(self._pending),
+                  "spill": self._cat_rows(self._spill),
+                  "spill2": self._cat_rows(self._spill2)}
+        meta = {"n_reads": self.n_reads, "n_spilled": self.n_spilled,
+                "n_spilled2": self.n_spilled2, "read_len": self.read_len}
+        return arrays, meta
+
+    def restore(self, arrays: dict, meta: dict) -> None:
+        if int(meta["read_len"]) != self.read_len:
+            raise ValueError(
+                f"checkpoint read_len {meta['read_len']} != counter "
+                f"read_len {self.read_len}")
+        self._put_accumulators(np.asarray(arrays["diff"], np.uint32),
+                               np.asarray(arrays["exact_acc"], np.uint32))
+        def rows_of(name):
+            r = np.asarray(arrays[name], np.uint8).reshape(-1, self.read_len)
+            return ([r] if len(r) else []), len(r)
+        self._pending, self._pending_rows = rows_of("pending")
+        self._spill, self._spill_rows = rows_of("spill")
+        self._spill2, self._spill2_rows = rows_of("spill2")
+        self._inflight.clear()
+        self.n_reads = int(meta["n_reads"])
+        self.n_spilled = int(meta["n_spilled"])
+        self.n_spilled2 = int(meta["n_spilled2"])
+
 
 def rows_from_flat_codes(codes: np.ndarray, read_len: int,
                          with_overflow: bool = False):
@@ -1007,3 +1056,15 @@ class RowStreamer:
             self.overflow.append(over)
         self._tail = np.zeros(0, np.uint8)
         return rows
+
+    # -- checkpoint/resume ----------------------------------------------
+
+    def snapshot(self) -> dict:
+        over = (np.concatenate(self.overflow) if self.overflow
+                else np.zeros(0, np.uint8))
+        return {"tail": self._tail.copy(), "overflow": over}
+
+    def restore(self, snap: dict) -> None:
+        self._tail = np.asarray(snap["tail"], np.uint8)
+        over = np.asarray(snap["overflow"], np.uint8)
+        self.overflow = [over] if len(over) else []

@@ -56,13 +56,25 @@ class ShardedAnchoredCounter(AnchoredDepthCounter):
         self._tiles = jax.device_put(index.genome_tiles, rep)
         self._dblock = jax.device_put(index.dblock, rep)
         self._sh_reads = NamedSharding(mesh, P("data", None, None))
-        sh_acc = NamedSharding(mesh, P("data", None))
+        self._sh_acc = NamedSharding(mesh, P("data", None))
         n = index.n_kmers
         self.diff = jax.device_put(
-            np.zeros((self.dp, n + 2), np.uint32), sh_acc)
+            np.zeros((self.dp, n + 2), np.uint32), self._sh_acc)
         self.exact_acc = jax.device_put(
-            np.zeros((self.dp, n + 2), np.uint32), sh_acc)
+            np.zeros((self.dp, n + 2), np.uint32), self._sh_acc)
         self._steps: dict = {}
+
+    def _put_accumulators(self, diff: np.ndarray, acc: np.ndarray) -> None:
+        """Checkpoint restore: per-device partials go back sharded.
+        Snapshots are mesh-shape-portable only when dp matches; a dp
+        change would need a host-side re-partition of the partials
+        (sum then re-zero), so it is rejected instead."""
+        if diff.shape != (self.dp, self.index.n_kmers + 2):
+            raise ValueError(
+                f"checkpoint accumulator shape {diff.shape} does not match "
+                f"dp={self.dp}; resume with the same data_devices")
+        self.diff = jax.device_put(diff, self._sh_acc)
+        self.exact_acc = jax.device_put(acc, self._sh_acc)
 
     # -- shard_map-wrapped device steps --------------------------------
 

@@ -148,3 +148,25 @@ class ShardedDepthCounter:
             self._pending, self._pending_len = [], 0
         total = jnp.sum(self.depth, axis=(0, 1), dtype=jnp.uint32)
         return np.asarray(jax.device_get(total))[:-1]
+
+    # -- checkpoint/resume (same contract as DepthCounter) -------------
+
+    def snapshot(self) -> dict:
+        residual = np.concatenate([self._carry] + self._pending) \
+            if (self._pending_len or len(self._carry)) else np.zeros(0, np.uint8)
+        return {"depth": np.asarray(jax.device_get(self.depth)),
+                "residual": residual, "windows": 0}
+
+    def restore(self, snap: dict) -> None:
+        depth = np.asarray(snap["depth"], np.uint32)
+        want = (self.dp, self.ds, self.dict.n_kmers + 1)
+        if depth.shape != want:
+            raise ValueError(
+                f"checkpoint depth shape {depth.shape} != {want}; resume "
+                f"with the same data_devices/dict_devices mesh")
+        self.depth = jax.device_put(
+            depth, NamedSharding(self.mesh, P("data", "dict", None)))
+        residual = np.asarray(snap["residual"], np.uint8)
+        self._carry = np.zeros(0, np.uint8)
+        self._pending = [residual] if len(residual) else []
+        self._pending_len = len(residual)

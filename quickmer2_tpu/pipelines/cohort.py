@@ -17,7 +17,7 @@ from quickmer2_tpu.config import EstConfig
 from quickmer2_tpu.dictionary import Dictionary
 from quickmer2_tpu.io import formats
 from quickmer2_tpu.pipelines.count import (
-    DepthCounter, _companion, gc_curve_from_depth, make_packer)
+    StreamCounter, _companion, gc_curve_from_depth, make_packer)
 from quickmer2_tpu.pipelines.est import run_est
 
 
@@ -25,17 +25,28 @@ def run_cohort(qm_path: str, samples: list[tuple[str, str]],
                batch_bases: int = 1 << 24, mode: str = "flat",
                ref_fasta: str | None = None, read_len: int | None = None,
                est_cfg: EstConfig | None = None, cn_suffix: str = ".CN.bed",
-               chunk_bytes: int = 1 << 24, verbose: bool = True) -> list[dict]:
+               chunk_bytes: int = 1 << 24, verbose: bool = True,
+               data_devices: int | None = None) -> list[dict]:
     """samples: list of (sample_path, out_prefix). Returns per-sample
-    stats. Writes <out>.bin/.txt and <out><cn_suffix> per sample."""
+    stats. Writes <out>.bin/.txt and <out><cn_suffix> per sample.
+
+    Each sample streams through a pipelines.count.StreamCounter — the
+    exact driver run_count uses — so anchored-mode semantics (row-width
+    autodetection per sample, oversize reads routed to the flat path,
+    data_devices sharding) are identical to single-sample counts; only
+    the dictionary, packed table, and anchored index are shared."""
     dictionary = Dictionary.from_qm(qm_path)
     index = None
+    packed_table = None
     if mode == "anchored":
         from quickmer2_tpu.ops.anchored import AnchoredIndex
         if ref_fasta is None:
             ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
         index = AnchoredIndex.from_dictionary_and_fasta(
             dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
+    elif not (data_devices and data_devices > 1):
+        from quickmer2_tpu.ops.packed_table import PackedTable
+        packed_table = PackedTable.from_dictionary(dictionary)
 
     qgc_path = _companion(qm_path, ".qgc")
     if not os.path.exists(qgc_path):
@@ -46,43 +57,23 @@ def run_cohort(qm_path: str, samples: list[tuple[str, str]],
 
     out_stats = []
     for sample_path, out_prefix in samples:
-        if mode == "anchored":
-            from quickmer2_tpu.ops.anchored import (
-                AnchoredDepthCounter, RowStreamer)
-            rs = None
-            counter = None
-        else:
-            counter = DepthCounter(dictionary, batch_bases=batch_bases)
+        sc = StreamCounter(dictionary, mode=mode, index=index,
+                           batch_bases=batch_bases, read_len=read_len,
+                           data_devices=data_devices,
+                           packed_table=packed_table)
         with open(sample_path, "rb") as f:
             first = f.read(chunk_bytes)
             fmt = "fastq" if first[:1] == b"@" else "fasta-lines"
             packer = make_packer(fmt)
             data = first
-            rl = read_len
             while data:
-                codes = packer.feed(data)
-                if mode == "anchored":
-                    if counter is None:
-                        if rl is None:
-                            seps = np.flatnonzero(codes == 4)
-                            rl = int(seps[0]) if len(seps) else len(codes)
-                        rs = RowStreamer(rl)
-                        counter = AnchoredDepthCounter(
-                            index, dictionary.kmer_size, rl)
-                    rows = rs.feed(codes)
-                    if len(rows):
-                        counter.feed_reads(rows)
-                else:
-                    counter.feed_codes(codes)
+                sc.feed_codes(packer.feed(data))
                 data = f.read(chunk_bytes)
-            if mode == "anchored" and rs is not None:
-                tail = rs.finish()
-                if len(tail):
-                    counter.feed_reads(tail)
-        depth = counter.finish()
+        depth = sc.finish()
         depth_u16 = (depth & 0xFFFF).astype(np.uint16)
         formats.write_u16(out_prefix + ".bin", depth_u16)
-        stats = {"sample": sample_path, "n_kmers": dictionary.n_kmers}
+        stats = {"sample": sample_path, "n_kmers": dictionary.n_kmers,
+                 **sc.stats}
         if qgc is not None:
             mean, count, var, mean_depth = gc_curve_from_depth(depth_u16, qgc)
             formats.write_gc_curve(out_prefix + ".txt", mean, count, var)

@@ -231,14 +231,16 @@ class DepthCounter:
     """
 
     def __init__(self, dictionary: Dictionary, batch_bases: int = 1 << 24,
-                 layout: str = "packed"):
+                 layout: str = "packed", packed_table=None):
         self.dict = dictionary
         self.k = dictionary.kmer_size
         self.batch_bases = batch_bases
         self.layout = layout
         if layout == "packed":
             from quickmer2_tpu.ops.packed_table import PackedTable
-            self._packed = PackedTable.from_dictionary(dictionary)
+            # packed_table: pass a prebuilt table to amortize the build
+            # across counters (cohort batching, overflow side-counters)
+            self._packed = packed_table or PackedTable.from_dictionary(dictionary)
             self.rows = self._packed.device_rows()
         else:
             hi, lo, rank = dictionary.device_arrays()
@@ -327,6 +329,168 @@ def gc_curve_from_depth(depth_u16: np.ndarray, qgc: np.ndarray):
     return mean, count, var, mean_depth
 
 
+class StreamCounter:
+    """Drives one sample's depth accumulation across every count mode.
+
+    Encapsulates mode dispatch (flat / anchored, single-device /
+    sharded), anchored row streaming with read-length autodetection,
+    oversize-read overflow routing to a flat side-counter, and
+    whole-ensemble checkpoint snapshot/restore. run_count and
+    run_cohort both drive this object, so all entry points share one
+    set of semantics (round 2's cohort silently dropped overflow reads
+    because it re-implemented this loop by hand).
+    """
+
+    def __init__(self, dictionary: Dictionary, *, mode: str = "flat",
+                 index=None, batch_bases: int = 1 << 24,
+                 read_len: int | None = None,
+                 data_devices: int | None = None,
+                 packed_table=None, counter_kw: dict | None = None):
+        self.dict = dictionary
+        self.mode = mode
+        self.batch_bases = batch_bases
+        self.read_len = read_len
+        self.data_devices = data_devices
+        self._packed_table = packed_table
+        self._counter_kw = counter_kw or {}
+        self.counter = None
+        self.row_streamer = None
+        self.overflow_counter = None
+        if mode == "anchored":
+            if index is None:
+                raise ValueError("anchored mode needs an AnchoredIndex")
+            self.index = index
+            # counter construction is deferred until the first chunk so
+            # the row width can be autodetected from real reads
+            if read_len is not None:
+                self._make_anchored(read_len)
+        elif data_devices and data_devices > 1:
+            from quickmer2_tpu.parallel.count_parallel import ShardedDepthCounter
+            from quickmer2_tpu.parallel.mesh import make_mesh
+            self.counter = ShardedDepthCounter(
+                dictionary, make_mesh(data_devices, 1),
+                batch_bases=batch_bases)
+        else:
+            self.counter = DepthCounter(dictionary, batch_bases=batch_bases,
+                                        packed_table=packed_table)
+
+    def _make_anchored(self, read_len: int) -> None:
+        from quickmer2_tpu.ops.anchored import AnchoredDepthCounter, RowStreamer
+        self.read_len = read_len
+        self.row_streamer = RowStreamer(read_len)
+        if self.data_devices and self.data_devices > 1:
+            from quickmer2_tpu.parallel.anchored_parallel import (
+                ShardedAnchoredCounter)
+            from quickmer2_tpu.parallel.mesh import make_mesh
+            self.counter = ShardedAnchoredCounter(
+                self.index, self.dict.kmer_size, read_len,
+                make_mesh(self.data_devices, 1), **self._counter_kw)
+        else:
+            self.counter = AnchoredDepthCounter(
+                self.index, self.dict.kmer_size, read_len,
+                **self._counter_kw)
+
+    def _drain_overflow(self) -> None:
+        if self.row_streamer.overflow:
+            # reads wider than the row width route to the flat per-k-mer
+            # path instead of raising or being dropped
+            if self.overflow_counter is None:
+                self.overflow_counter = DepthCounter(
+                    self.dict, batch_bases=self.batch_bases,
+                    packed_table=self._packed_table)
+            self.overflow_counter.feed_codes(self.row_streamer.take_overflow())
+
+    def feed_codes(self, codes: np.ndarray) -> None:
+        if self.mode != "anchored":
+            self.counter.feed_codes(codes)
+            return
+        if self.counter is None:
+            self._make_anchored(_autodetect_read_len(codes))
+        rows = self.row_streamer.feed(codes)
+        if len(rows):
+            self.counter.feed_reads(rows)
+        self._drain_overflow()
+
+    def finish(self) -> np.ndarray:
+        """Flush tails and return the merged host depth u32[n_kmers]."""
+        if self.mode == "anchored":
+            if self.counter is None:     # empty sample
+                return np.zeros(self.dict.n_kmers, np.uint32)
+            tail = self.row_streamer.finish()
+            if len(tail):
+                self.counter.feed_reads(tail)
+            self._drain_overflow()
+        depth = self.counter.finish()
+        if self.overflow_counter is not None:
+            depth = depth + self.overflow_counter.finish()
+        return depth
+
+    @property
+    def stats(self) -> dict:
+        s = {"mode": self.mode,
+             "total_windows": getattr(self.counter, "total_kmer_windows", 0)}
+        if self.mode == "anchored" and self.counter is not None:
+            s["n_reads"] = self.counter.n_reads
+            s["n_spilled"] = self.counter.n_spilled
+            s["n_spilled2"] = self.counter.n_spilled2
+            s["read_len"] = self.read_len
+        return s
+
+    # -- checkpoint/resume ----------------------------------------------
+
+    def snapshot(self) -> tuple[dict, dict]:
+        """(arrays, meta) capturing counter + row streamer + overflow
+        side-counter. Restore on an identically-configured StreamCounter
+        (same mode / data_devices) resumes bit-identically."""
+        arrays: dict = {}
+        meta: dict = {"mode": self.mode}
+        if self.mode == "anchored":
+            meta["read_len"] = self.read_len
+            if self.counter is not None:
+                a, m = self.counter.snapshot()
+                arrays.update({"anch_" + k: v for k, v in a.items()})
+                meta["anch"] = m
+                rs = self.row_streamer.snapshot()
+                arrays["rs_tail"] = rs["tail"]
+                arrays["rs_overflow"] = rs["overflow"]
+        else:
+            snap = self.counter.snapshot()
+            arrays["depth"] = snap["depth"]
+            arrays["residual"] = snap["residual"]
+            meta["windows"] = snap["windows"]
+        if self.overflow_counter is not None:
+            osnap = self.overflow_counter.snapshot()
+            arrays["ovf_depth"] = osnap["depth"]
+            arrays["ovf_residual"] = osnap["residual"]
+            meta["ovf_windows"] = osnap["windows"]
+        return arrays, meta
+
+    def restore(self, arrays: dict, meta: dict) -> None:
+        if meta["mode"] != self.mode:
+            raise ValueError(f"checkpoint mode {meta['mode']!r} != {self.mode!r}")
+        if self.mode == "anchored":
+            if "anch" in meta:
+                if self.counter is None:
+                    self._make_anchored(int(meta["read_len"]))
+                self.counter.restore(
+                    {k[5:]: v for k, v in arrays.items()
+                     if k.startswith("anch_")}, meta["anch"])
+                self.row_streamer.restore({"tail": arrays["rs_tail"],
+                                           "overflow": arrays["rs_overflow"]})
+        else:
+            self.counter.restore({"depth": arrays["depth"],
+                                  "residual": arrays["residual"],
+                                  "windows": meta["windows"]})
+        if "ovf_depth" in arrays:
+            self.overflow_counter = DepthCounter(
+                self.dict, batch_bases=self.batch_bases,
+                packed_table=self._packed_table)
+            self.overflow_counter.restore(
+                {"depth": arrays["ovf_depth"],
+                 "residual": arrays["ovf_residual"],
+                 "windows": meta["ovf_windows"]})
+
+
 def run_count(qm_path: str, sample_path: str, out_prefix: str,
               batch_bases: int = 1 << 24, fmt: str | None = None,
               chunk_bytes: int = 1 << 24, verbose: bool = True,
@@ -347,45 +511,45 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
                       ("data",) mesh (parallel.anchored_parallel /
                       parallel.count_parallel); None = single device.
                       Output is bit-identical to single-device.
+
+    Checkpointing covers every mode, including stdin: a non-seekable
+    stream resumes by re-reading and discarding the consumed byte
+    prefix (re-run the upstream `samtools | awk` pipe and the count
+    fast-forwards through it).
     """
     t0 = time.time()
     dictionary = Dictionary.from_qm(qm_path)
-    row_streamer = None
+    index = None
     if mode == "anchored":
-        from quickmer2_tpu.ops.anchored import (
-            AnchoredDepthCounter, AnchoredIndex, RowStreamer)
+        from quickmer2_tpu.ops.anchored import AnchoredIndex
         if ref_fasta is None:
             ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
         # persisted companion: first anchored count builds <fasta>.qai,
         # every later one loads it (zero FASTA scanning / bitmap rebuild)
         index = AnchoredIndex.from_dictionary_and_fasta(
             dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
-    elif data_devices and data_devices > 1:
-        from quickmer2_tpu.parallel.count_parallel import ShardedDepthCounter
-        from quickmer2_tpu.parallel.mesh import make_mesh
-        counter = ShardedDepthCounter(dictionary, make_mesh(data_devices, 1),
-                                      batch_bases=batch_bases)
-    else:
-        counter = DepthCounter(dictionary, batch_bases=batch_bases)
+    sc = StreamCounter(dictionary, mode=mode, index=index,
+                       batch_bases=batch_bases, read_len=read_len,
+                       data_devices=data_devices)
     import sys
     stream = sys.stdin.buffer if sample_path == "-" else open(sample_path, "rb")
     bytes_consumed = 0
     next_ckpt = checkpoint_every_bytes
     resumed = None
-    if checkpoint_path and mode == "flat" and sample_path != "-":
+    if checkpoint_path:
         from quickmer2_tpu.utils import checkpoint as ckpt
         resumed = ckpt.load(checkpoint_path)
     try:
         if resumed is not None:
-            bytes_consumed, depth_snap, meta = resumed
-            stream.seek(bytes_consumed)
+            bytes_consumed, arrays, meta = resumed
+            if sample_path == "-":
+                _discard_exactly(stream, bytes_consumed, chunk_bytes)
+            else:
+                stream.seek(bytes_consumed)
             fmt = meta["fmt"]
             packer = make_packer(fmt)
-            if hasattr(packer, "set_state"):
-                packer.set_state(meta["packer"])
-            counter.restore({"depth": depth_snap,
-                             "residual": np.array(meta["residual"], np.uint8),
-                             "windows": meta["windows"]})
+            packer.set_state(meta["packer"])
+            sc.restore(arrays, meta["state"])
             next_ckpt = bytes_consumed + checkpoint_every_bytes
             if verbose:
                 print(f"count: resumed at byte {bytes_consumed}")
@@ -395,78 +559,31 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
             # FASTQ autodetected by a leading '@' (QuicKmer.c:393); works
             # for pipes too since we already hold the first chunk
             fmt = fmt or ("fastq" if first[:1] == b"@" else "fasta-lines")
-        packer = packer if resumed is not None else make_packer(fmt)
+            packer = make_packer(fmt)
         data = first
-        overflow_counter = None
         while data:
-            codes = packer.feed(data)
-            if mode == "anchored":
-                if row_streamer is None:
-                    if read_len is None:
-                        read_len = _autodetect_read_len(codes)
-                    row_streamer = RowStreamer(read_len)
-                    if data_devices and data_devices > 1:
-                        from quickmer2_tpu.parallel.anchored_parallel import (
-                            ShardedAnchoredCounter)
-                        from quickmer2_tpu.parallel.mesh import make_mesh
-                        counter = ShardedAnchoredCounter(
-                            index, dictionary.kmer_size, read_len,
-                            make_mesh(data_devices, 1))
-                    else:
-                        counter = AnchoredDepthCounter(
-                            index, dictionary.kmer_size, read_len)
-                rows = row_streamer.feed(codes)
-                if len(rows):
-                    counter.feed_reads(rows)
-                if row_streamer.overflow:
-                    # reads wider than the row width route to the flat
-                    # per-k-mer path instead of raising (VERDICT Weak #5)
-                    if overflow_counter is None:
-                        overflow_counter = DepthCounter(
-                            dictionary, batch_bases=batch_bases)
-                    overflow_counter.feed_codes(row_streamer.take_overflow())
-            else:
-                counter.feed_codes(codes)
+            sc.feed_codes(packer.feed(data))
             bytes_consumed += len(data)
-            if (checkpoint_path and mode == "flat" and sample_path != "-"
-                    and bytes_consumed >= next_ckpt):
+            if checkpoint_path and bytes_consumed >= next_ckpt:
                 from quickmer2_tpu.utils import checkpoint as ckpt
-                snap = counter.snapshot()
-                pk_state = packer.get_state() if hasattr(packer, "get_state") \
-                    else {}
-                ckpt.save(checkpoint_path, bytes_consumed, snap["depth"],
-                          extra={"fmt": fmt, "packer": pk_state,
-                                 "residual": snap["residual"].tolist(),
-                                 "windows": snap["windows"]})
+                arrays, state_meta = sc.snapshot()
+                ckpt.save(checkpoint_path, bytes_consumed, arrays,
+                          meta={"fmt": fmt, "packer": packer.get_state(),
+                                "state": state_meta})
                 next_ckpt += checkpoint_every_bytes
             data = stream.read(chunk_bytes)
-        if mode == "anchored" and row_streamer is not None:
-            tail_rows = row_streamer.finish()
-            if len(tail_rows):
-                counter.feed_reads(tail_rows)
-            if row_streamer.overflow:
-                if overflow_counter is None:
-                    overflow_counter = DepthCounter(
-                        dictionary, batch_bases=batch_bases)
-                overflow_counter.feed_codes(row_streamer.take_overflow())
     finally:
         if sample_path != "-":
             stream.close()
-    depth = counter.finish()
-    if mode == "anchored" and overflow_counter is not None:
-        depth = depth + overflow_counter.finish()
+    depth = sc.finish()
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
     depth_u16 = (depth & 0xFFFF).astype(np.uint16)   # Q8 wrap parity
     formats.write_u16(out_prefix + ".bin", depth_u16)
 
     stats = {"n_kmers": dictionary.n_kmers,
-             "total_windows": getattr(counter, "total_kmer_windows", 0),
              "elapsed_s": time.time() - t0,
-             "mode": mode}
-    if mode == "anchored":
-        stats["n_reads"] = counter.n_reads
-        stats["n_spilled"] = counter.n_spilled
+             **sc.stats}
     qgc_path = _companion(qm_path, ".qgc")
     if not os.path.exists(qgc_path):
         qgc_path = qm_path + ".qgc"
@@ -478,6 +595,20 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
         if verbose:
             print("Mean sequencing depth: %.2f" % mean_depth)
     return stats
+
+
+def _discard_exactly(stream, n: int, chunk_bytes: int) -> None:
+    """Fast-forward a non-seekable stream past its consumed prefix
+    (checkpoint resume from stdin: the upstream pipe replays from the
+    start and we drop what was already counted)."""
+    left = n
+    while left > 0:
+        got = stream.read(min(chunk_bytes, left))
+        if not got:
+            raise EOFError(
+                f"stream ended {left} bytes before the checkpoint offset "
+                f"{n}; the replayed input is shorter than the original")
+        left -= len(got)
 
 
 def _autodetect_read_len(codes: np.ndarray, cap: int = 1024) -> int:

@@ -41,6 +41,19 @@ def revcomp(s: str) -> str:
     return "".join(COMP[c] for c in reversed(s))
 
 
+def mutate_reads(rng, reads: list[str], err_rate: float) -> list[str]:
+    """Substitution errors at err_rate per base (sequencing-error model
+    for spill-path tests)."""
+    out = []
+    for r in reads:
+        chars = list(r)
+        for pos in np.flatnonzero(rng.random(len(chars)) < err_rate):
+            chars[pos] = "ACGT"[(("ACGT".index(chars[pos])
+                                  + rng.integers(1, 4)) % 4)]
+        out.append("".join(chars))
+    return out
+
+
 def write_fastq(path: str, reads: list[str]) -> None:
     with open(path, "w") as f:
         for i, r in enumerate(reads):

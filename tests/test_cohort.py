@@ -29,8 +29,14 @@ def world(tmp_path_factory):
                          window_size=100, control_bed=ctrl), verbose=False)
     samples = []
     for i in range(3):
-        reads = helpers.simulate_reads(np.random.default_rng(100 + i),
-                                       chr1, 2000 + 300 * i, 100)
+        srng = np.random.default_rng(100 + i)
+        # mixed lengths: a trimmed-FASTQ-like mix of 100/150 bp plus a
+        # few 2000 bp reads that overflow the anchored row width — the
+        # round-2 cohort silently dropped these (VERDICT Weak #3)
+        reads = helpers.simulate_reads(srng, chr1, 1500 + 300 * i, 100)
+        reads += helpers.simulate_reads(srng, chr1, 500, 150)
+        reads += helpers.simulate_reads(srng, chr1, 10 + i, 2000)
+        reads = helpers.mutate_reads(srng, reads, 0.003)
         p = str(d / f"s{i}.fq")
         helpers.write_fastq(p, reads)
         samples.append(p)
@@ -54,6 +60,27 @@ def test_cohort_matches_individual(world, tmp_path, mode):
             formats.read_u16(out + ".bin"))
         assert open(os.path.join(d, f"c{i}.CN.bed")).read() == \
             open(out + ".CN.bed").read()
+
+
+@pytest.mark.parametrize("mode", ["flat", "anchored"])
+def test_cohort_data_devices_matches(world, tmp_path, mode):
+    """run_cohort(data_devices=2) must be bit-identical to the
+    single-device cohort (the parameter round 2's commit message
+    claimed but never added)."""
+    d = str(tmp_path)
+    pairs1 = [(s, os.path.join(d, f"one{i}"))
+              for i, s in enumerate(world["samples"][:2])]
+    pairs2 = [(s, os.path.join(d, f"two{i}"))
+              for i, s in enumerate(world["samples"][:2])]
+    run_cohort(world["fa"] + ".qm", pairs1, batch_bases=1 << 16,
+               mode=mode, ref_fasta=world["fa"], verbose=False)
+    run_cohort(world["fa"] + ".qm", pairs2, batch_bases=1 << 16,
+               mode=mode, ref_fasta=world["fa"], verbose=False,
+               data_devices=2)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            formats.read_u16(os.path.join(d, f"one{i}.bin")),
+            formats.read_u16(os.path.join(d, f"two{i}.bin")))
 
 
 def test_device_est_matches_host(world, tmp_path):
