@@ -1,30 +1,34 @@
-"""Benchmark: count-phase device throughput (k-mers/s) on one chip.
+"""Benchmark: MEASURED end-to-end count throughput on one chip.
 
 Metric parity with the reference baseline: the reference reports
 81,843,317,281 k-mers in 690 s = 118.6 M k-mers/s with 6 count threads
 (tutorial.md:154-166, BASELINE.md), where "k-mers" counts every rolling
-window position of every read. We measure the same quantity through the
-anchored fast path (ops.anchored: anchor probes → genome verify →
-rank-range adds; mismatching reads recounted exactly) on simulated
-150 bp reads with a realistic 0.3% substitution error rate. The exact
-packed-table per-k-mer path is reported to stderr for reference.
+window position of every read, wall-clock from FASTQ bytes to the depth
+vector. We measure the same quantity the same way: an in-memory FASTQ
+blob streams through the REAL product path — native parser →
+RowStreamer → 2-bit packed H2D → anchored tier-1 kernel → lagged spill
+drain → tier-2 → exact recount — and the clock stops when finish()
+returns the host depth vector. Nothing is modeled; host parse, row
+packing, spill compaction, H2D transfers, and every device batch are on
+the clock.
 
-Scale: 2M-entry dictionary (structures built host-side; the host link
-here is a slow tunnel, so the working set is kept at ~100 MB of
-transfers). Random-access op rates on TPU are size-insensitive
-(measured: 75M elem/s at 1 MB vs 140M at 128 MB tables), so the number
-transfers to pod-scale shards within ~2x.
+The genome is synthetic but adversarial: planted repeats (non-unique
+k-mers → dictionary holes the anchorer must skip) and planted
+edit-distance-1 neighbor copies (nonzero neighbor-hit bitmap, the
+density the tier-1 discard logic leans on). Reads carry substitution
+errors at three rates; the headline is the 0.3%/bp rate (typical
+Illumina), with 0.1% and 1% reported alongside.
 
-Honest timing protocol for this environment: the tunnel backend's
-block_until_ready does not await remote completion, so batch loops run
-INSIDE one jitted graph and we time dispatch→host-fetch, subtracting
-measured round-trip latency. (Protocol validated: chained 8192^3 bf16
-matmuls measure 170 TFLOPs on this v5e.)
+Environment note (reported, not hidden): this harness reaches its TPU
+through a network tunnel whose H2D bandwidth is ~20-30 MB/s (measured
+and printed below) — roughly 1000x slower than a PCIe-attached host.
+The stderr breakdown separates that transport share from host parse
+and device compute so the number transfers to real deployments.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
-import functools
+import io
 import json
 import sys
 import time
@@ -34,162 +38,170 @@ import numpy as np
 BASELINE_KMERS_PER_S = 118.6e6  # 6-thread C reference (BASELINE.md)
 
 K = 30
-GENOME_BASES = 1 << 21          # 2M-base genome → ~2M-entry dictionary
+GENOME_BASES = 1 << 22          # 4M-base genome with planted structure
 READ_LEN = 150
-N_READS = 1 << 16               # reads per batch (~9.9M bases, 7.9M windows)
-ERROR_RATE = 0.003
-ITERS = 4
+N_READS = 1 << 20               # 1M reads ≈ 313 MB FASTQ, 127M windows
+ERROR_RATES = (0.001, 0.003, 0.01)
+HEADLINE_RATE = 0.003
+BATCH_READS = 1 << 17
+CHUNK_BYTES = 1 << 23
 
 
-def honest_time(fn, *args, lat, n=2):
-    np.asarray(fn(*args))  # compile + warm
-    ts = []
-    for _ in range(n):
-        t0 = time.time()
-        np.asarray(fn(*args))
-        ts.append(time.time() - t0)
-    return max(min(ts) - lat, 1e-9)
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_genome(rng):
+    """Backbone + planted repeats + planted ED1 neighbor copies."""
+    g = rng.integers(0, 4, size=GENOME_BASES).astype(np.uint8)
+    # repeats: ~8% of the genome is a second copy of another region →
+    # those k-mers are non-unique and absent from the dictionary
+    for _ in range(64):
+        ln = int(rng.integers(300, 8000))
+        src = int(rng.integers(0, GENOME_BASES - ln))
+        dst = int(rng.integers(0, GENOME_BASES - ln))
+        g[dst:dst + ln] = g[src:src + ln]
+    # ED1 neighbors: k-windows copied elsewhere with ONE substitution —
+    # the copy is a unique k-mer whose edit-distance-1 neighbor is also
+    # in the genome, so the neighbor-hit bitmap gets real density
+    m = GENOME_BASES // 200
+    src = rng.integers(0, GENOME_BASES - K, size=m)
+    dst = rng.integers(0, GENOME_BASES - K, size=m)
+    win = g[src[:, None] + np.arange(K)[None, :]].copy()
+    mut_pos = rng.integers(0, K, size=m)
+    win[np.arange(m), mut_pos] = (win[np.arange(m), mut_pos]
+                                  + rng.integers(1, 4, size=m)) % 4
+    g[dst[:, None] + np.arange(K)[None, :]] = win
+    return g
+
+
+def build_dictionary(genome):
+    from quickmer2_tpu.dictionary import Dictionary
+    from quickmer2_tpu.ops import codec
+    canon, valid = codec.sliding_kmers_np(genome, K)
+    valid = valid & (canon != 0)
+    kmers = canon[valid]
+    uniq, counts = np.unique(kmers, return_counts=True)
+    keep = ~np.isin(kmers, uniq[counts > 1])
+    dict_kmers = kmers[keep]
+    dict_pos = (np.flatnonzero(valid)[keep] + K - 1).astype(np.uint32)
+    hash_size = 1 << int(np.ceil(np.log2(len(dict_kmers) * 2)))
+    dic = Dictionary.from_kmers_in_order(dict_kmers, hash_size, K)
+    return dic, dict_kmers, dict_pos
+
+
+_BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def make_fastq(rng, genome, err_rate):
+    """In-memory FASTQ blob of N_READS 150bp reads with substitution
+    errors; half reverse-complemented. Returns (bytes, n_windows)."""
+    starts = rng.integers(0, GENOME_BASES - READ_LEN, size=N_READS)
+    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]].copy()
+    n_err = rng.binomial(N_READS * READ_LEN, err_rate)
+    er = rng.integers(0, N_READS, size=n_err)
+    ec = rng.integers(0, READ_LEN, size=n_err)
+    reads[er, ec] = (reads[er, ec] + rng.integers(1, 4, size=n_err)) % 4
+    flip = rng.random(N_READS) < 0.5
+    reads[flip] = ((reads[flip, ::-1] + 2) % 4).astype(np.uint8)
+
+    # rows → FASTQ records: "@r\nSEQ\n+\nQUAL\n" (fixed-width, vectorized)
+    rec_len = 3 + READ_LEN + 1 + 2 + READ_LEN + 1
+    blob = np.empty((N_READS, rec_len), np.uint8)
+    blob[:, 0] = ord("@")
+    blob[:, 1] = ord("r")
+    blob[:, 2] = ord("\n")
+    blob[:, 3:3 + READ_LEN] = _BASES[reads]
+    blob[:, 3 + READ_LEN] = ord("\n")
+    blob[:, 4 + READ_LEN] = ord("+")
+    blob[:, 5 + READ_LEN] = ord("\n")
+    blob[:, 6 + READ_LEN:6 + 2 * READ_LEN] = ord("I")
+    blob[:, 6 + 2 * READ_LEN] = ord("\n")
+    return blob.tobytes(), N_READS * (READ_LEN - K + 1)
+
+
+def measure_h2d(jnp, jax):
+    """Measured tunnel H2D bandwidth (MB/s) on a 8 MB u8 buffer."""
+    x = np.zeros(1 << 23, np.uint8)
+    d = jax.device_put(x[: 1 << 16])
+    d.block_until_ready()
+    t0 = time.time()
+    jax.device_put(x).block_until_ready()
+    return (1 << 23) / (time.time() - t0) / 1e6
+
+
+def run_measured(dic, index, fastq, read_len):
+    """The measured region: FASTQ bytes → depth via the product path."""
+    from quickmer2_tpu.pipelines.count import StreamCounter, make_packer
+    sc = StreamCounter(dic, mode="anchored", index=index, read_len=read_len,
+                       counter_kw={"batch_reads": BATCH_READS})
+    packer = make_packer("fastq")
+    t0 = time.time()
+    host_s = 0.0
+    for off in range(0, len(fastq), CHUNK_BYTES):
+        h0 = time.time()
+        codes = packer.feed(fastq[off:off + CHUNK_BYTES])
+        host_s += time.time() - h0
+        sc.feed_codes(codes)
+    depth = sc.finish()
+    wall = time.time() - t0
+    return depth, wall, host_s, sc
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    from quickmer2_tpu.ops import codec
-    from quickmer2_tpu.ops.anchored import (
-        anchored_count_kernel, build_dblock, build_neighbor_bits,
-        exact_count_rows, genome_tiles_np)
-    from quickmer2_tpu.ops.packed_table import PackedTable
+    from quickmer2_tpu.ops.anchored import AnchoredIndex
 
     t0 = time.time()
     rng = np.random.default_rng(0)
-    genome = rng.integers(0, 4, size=GENOME_BASES).astype(np.uint8)
-
-    # dictionary: unique canonical k-mers in genome order
-    canon, valid = codec.sliding_kmers_np(genome, K)
-    valid = valid & (canon != 0)
-    kmers = canon[valid]
-    _, first = np.unique(kmers, return_index=True)
-    keep = np.zeros(len(kmers), bool)
-    keep[np.sort(first)] = True
-    # drop k-mers appearing more than once entirely (dictionary = unique)
-    uniq, counts = np.unique(kmers, return_counts=True)
-    multi = set(uniq[counts > 1].tolist())
-    if multi:
-        keep &= ~np.isin(kmers, uniq[counts > 1])
-    dict_kmers = kmers[keep]
-    dict_pos = (np.flatnonzero(valid)[keep] + K - 1).astype(np.uint32)
+    genome = build_genome(rng)
+    dic, dict_kmers, dict_pos = build_dictionary(genome)
     n = len(dict_kmers)
+    log(f"# genome {GENOME_BASES} bases (64 planted repeats, "
+        f"{GENOME_BASES // 200} planted ED1 neighbors) → dict {n} kmers "
+        f"({1 - n / (GENOME_BASES - K + 1):.1%} excluded as non-unique)")
 
-    khi, klo = codec.split_u64(dict_kmers)
-    table = PackedTable.build(khi, klo, np.arange(n, dtype=np.uint32),
-                              pos=dict_pos)
-    dblock = build_dblock(dict_pos, GENOME_BASES)
-    # neighbor bitmap: a per-dictionary artifact (like .qgc) — cached
-    # on disk since bench inputs are deterministic (seed 0)
-    tnb = time.time()
-    import os
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_nbits_{GENOME_BASES}_{K}.npy")
-    if os.path.exists(cache):
-        nbits = np.load(cache)
-    else:
-        nbits = build_neighbor_bits(genome, table.rows, table.n_buckets, K)
-        np.save(cache, nbits)
-    tiles = genome_tiles_np(genome, nbits)
-    nb_s = time.time() - tnb
+    tb = time.time()
+    index = AnchoredIndex.build(genome, dict_pos, dict_kmers, K,
+                                neighbor_bits=True, device_build=True)
+    nb_density = float(np.asarray(jnp.mean(
+        ((index.genome_tiles & jnp.uint8(0x78)) != 0).astype(jnp.float32))))
+    log(f"# index built in {time.time() - tb:.1f}s (device bitmap build); "
+        f"neighbor-bit density {nb_density:.3%}; backend "
+        f"{jax.default_backend()}")
+    h2d = measure_h2d(jnp, jax)
+    log(f"# measured H2D link bandwidth: {h2d:.0f} MB/s "
+        f"(network tunnel in this harness; PCIe-attached hosts are ~GB/s)")
 
-    # reads with substitution errors
-    starts = rng.integers(0, GENOME_BASES - READ_LEN, size=N_READS)
-    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]].copy()
-    n_err = rng.binomial(N_READS * READ_LEN, ERROR_RATE)
-    er = rng.integers(0, N_READS, size=n_err)
-    ec = rng.integers(0, READ_LEN, size=n_err)
-    reads[er, ec] = (reads[er, ec] + rng.integers(1, 4, size=n_err)) % 4
-    # half the reads reverse-complemented
-    flip = rng.random(N_READS) < 0.5
-    reads[flip] = ((reads[flip, ::-1] + 2) % 4).astype(np.uint8)
-
-    rows_d = jnp.asarray(table.rows)
-    tiles_d = jnp.asarray(tiles)
-    dblock_d = jnp.asarray(dblock)
-    reads_d = jnp.asarray(reads)
-    diff0 = jnp.zeros(n + 2, jnp.uint32)
-    jax.block_until_ready((rows_d, tiles_d, dblock_d, reads_d))
-    print(f"# setup {time.time()-t0:.1f}s (neighbor bitmap {nb_s:.1f}s, "
-          f"{int(np.count_nonzero(nbits))} nonzero): dict {n} kmers, "
-          f"buckets {table.n_buckets}, reads {N_READS}x{READ_LEN}, "
-          f"backend {jax.default_backend()}", file=sys.stderr)
-
-    W = READ_LEN - K + 1
-    anchor_offsets = (0, W // 3, (2 * W) // 3, W - 1)
-
-    def make_tier(max_runs, max_dirty, dirty_runs=0, run_width=0,
-                  neighbor=False):
-        kw = dict(k=K, read_len=READ_LEN, n_buckets=table.n_buckets,
-                  anchor_offsets=anchor_offsets, max_runs=max_runs,
-                  max_dirty=max_dirty, max_dirty_runs=dirty_runs,
-                  dirty_run_width=run_width, neighbor_mode=neighbor)
-
-        @jax.jit
-        def many(reads, rows, tiles, dblock, diff):
-            def body(i, diff):
-                diff, _ = anchored_count_kernel(
-                    reads, rows, tiles, dblock, diff, None, **kw)
-                return diff
-            return jax.lax.fori_loop(0, ITERS, body, diff)[:8]
-
-        @jax.jit
-        def spill(reads, rows, tiles, dblock, diff):
-            _, spilled = anchored_count_kernel(
-                reads, rows, tiles, dblock, diff, None, **kw)
-            return jnp.mean(spilled.astype(jnp.float32))
-        return many, spill
-
-    anchored_many, spill_frac = make_tier(4, 0, neighbor=True)
-
-    @jax.jit
-    def exact_many(reads, rows, diff):
-        mask = jnp.ones(reads.shape[0], bool)
-        def body(i, diff):
-            return exact_count_rows(reads, mask, rows, diff, k=K,
-                                    n_buckets=table.n_buckets)
-        return jax.lax.fori_loop(0, ITERS, body, diff)[:8]
-
-    @jax.jit
-    def trivial(x):
-        return x + 1
-
-    np.asarray(trivial(jnp.int32(0)))
-    lt0 = time.time()
-    np.asarray(trivial(jnp.int32(1)))
-    lat = time.time() - lt0
-
-    windows_per_iter = N_READS * W
-    sp1 = float(np.asarray(spill_frac(reads_d, rows_d, tiles_d, dblock_d, diff0)))
-
-    t_exact = honest_time(exact_many, reads_d, rows_d, diff0, lat=lat)
-    exact_rate = windows_per_iter * ITERS / t_exact
-    print(f"# exact per-kmer path: {exact_rate/1e6:.1f} M kmers/s "
-          f"({exact_rate/BASELINE_KMERS_PER_S:.2f}x baseline)", file=sys.stderr)
-
-    t_anch = honest_time(anchored_many, reads_d, rows_d, tiles_d, dblock_d,
-                         diff0, lat=lat)
-    # two-tier effective throughput: neighbor-bit tier1 on everything
-    # (isolated errors absorbed via the bitmap), exact per-k-mer path on
-    # the spilled fraction (close error pairs, edge cases; spill batches
-    # are dense, so per-read cost holds)
-    t_total = t_anch + sp1 * t_exact
-    rate = windows_per_iter * ITERS / t_total
-    print(f"# tier1+nbits {windows_per_iter*ITERS/t_anch/1e6:.1f} M kmers/s "
-          f"(spill {sp1*100:.2f}% at {ERROR_RATE*100:.1f}%/bp) "
-          f"→ effective {rate/1e6:.1f} M kmers/s", file=sys.stderr)
+    headline = None
+    for err in ERROR_RATES:
+        fastq, n_windows = make_fastq(np.random.default_rng(7), genome, err)
+        depth, wall, host_s, sc = run_measured(dic, index, fastq, 160)
+        # warm run measured (compile excluded): repeat once compiled
+        depth, wall, host_s, sc = run_measured(dic, index, fastq, 160)
+        st = sc.stats
+        rate = n_windows / wall
+        packed_mb = (st["n_reads"] * (160 // 4 + 160 // 8)) / 1e6
+        h2d_s = packed_mb / h2d
+        log(f"# err {err * 100:.1f}%/bp: {n_windows / 1e6:.0f}M windows in "
+            f"{wall:.2f}s = {rate / 1e6:.1f} M kmers/s MEASURED end-to-end "
+            f"| spill {st['n_spilled'] / st['n_reads']:.2%}, tier2-exact "
+            f"{st['n_spilled2'] / st['n_reads']:.2%} | host parse "
+            f"{host_s:.2f}s ({host_s / wall:.0%}), H2D ~{packed_mb:.0f} MB "
+            f"~{h2d_s:.2f}s ({h2d_s / wall:.0%} at tunnel rate), "
+            f"device+overlap remainder")
+        if err == HEADLINE_RATE:
+            headline = rate
+        assert depth.sum() > 0
 
     print(json.dumps({
-        "metric": "count_kmers_per_s_per_chip",
-        "value": round(rate),
+        "metric": "count_kmers_per_s_per_chip_e2e",
+        "value": round(headline),
         "unit": "kmers/s",
-        "vs_baseline": round(rate / BASELINE_KMERS_PER_S, 3),
+        "vs_baseline": round(headline / BASELINE_KMERS_PER_S, 3),
     }))
+    log(f"# total bench time {time.time() - t0:.0f}s")
 
 
 if __name__ == "__main__":

@@ -3,7 +3,9 @@
 
   python -m quickmer2_tpu search [-k N] [-s SIZE] [-e N] [-d N] [-w N]
                                  [-c ctrl.bed] [--quirk-editdist] ref.fa
-  python -m quickmer2_tpu count  [-t N] [--batch-bases N] ref.fa sample out
+  python -m quickmer2_tpu count  [--mode anchored] [--data-devices N]
+                                 [--checkpoint PATH] [--json] ref.fa sample out
+  python -m quickmer2_tpu cohort [--mode anchored] ref.fa s1.fq:out1 ...
   python -m quickmer2_tpu est    ref.fa sample_prefix out.bed [--plot]
   python -m quickmer2_tpu sparse [-w N] [-c ctrl.bed] bp ref.fa
   python -m quickmer2_tpu index  [-s SIZE] kmers.bed out.qm
@@ -51,9 +53,35 @@ def build_parser() -> argparse.ArgumentParser:
                         "output to flat")
     c.add_argument("--read-len", type=int, default=None,
                    help="fixed read length for anchored mode (autodetected)")
+    c.add_argument("--data-devices", type=int, default=None,
+                   help="shard the count over N local devices "
+                        "(bit-identical output)")
+    c.add_argument("--checkpoint", type=str, default=None, metavar="PATH",
+                   help="periodic resume checkpoint; rerun with the same "
+                        "flags to resume (works for stdin too: the "
+                        "replayed pipe is fast-forwarded)")
+    c.add_argument("--checkpoint-every", type=parse_size_suffix,
+                   default=1 << 30, metavar="BYTES",
+                   help="checkpoint interval in consumed bytes "
+                        "(K/M/G suffix ok, default 1G)")
+    c.add_argument("--json", action="store_true",
+                   help="print the run's structured stats as one JSON "
+                        "line on stdout")
     c.add_argument("fasta", help="reference FASTA path or .qm path")
     c.add_argument("sample", help="FASTA/FASTQ reads ('-' for stdin)")
     c.add_argument("out_prefix")
+
+    co = sub.add_parser("cohort", help="count+est many samples against "
+                                       "one dictionary (amortized load)")
+    co.add_argument("--batch-bases", type=int, default=1 << 24)
+    co.add_argument("--mode", choices=["flat", "anchored"], default="flat")
+    co.add_argument("--read-len", type=int, default=None)
+    co.add_argument("--data-devices", type=int, default=None)
+    co.add_argument("--json", action="store_true")
+    co.add_argument("fasta", help="reference FASTA path or .qm path")
+    co.add_argument("pairs", nargs="+",
+                    help="sample.fq:out_prefix pairs (est runs when the "
+                         ".qgc companion exists)")
 
     e = sub.add_parser("est", help="GC-corrected copy-number estimation")
     e.add_argument("--plot", action="store_true", help="write QC png")
@@ -95,12 +123,39 @@ def main(argv=None) -> int:
         run_search(args.fasta, cfg, out_prefix=args.out_prefix)
 
     elif args.cmd == "count":
+        import json
         from quickmer2_tpu.pipelines.count import run_count
         qm = args.fasta if args.fasta.endswith(".qm") else args.fasta + ".qm"
-        run_count(qm, args.sample, args.out_prefix,
-                  batch_bases=args.batch_bases, mode=args.mode,
-                  ref_fasta=args.fasta if args.mode == "anchored" else None,
-                  read_len=args.read_len)
+        stats = run_count(
+            qm, args.sample, args.out_prefix,
+            batch_bases=args.batch_bases, mode=args.mode,
+            ref_fasta=args.fasta if args.mode == "anchored" else None,
+            read_len=args.read_len, data_devices=args.data_devices,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every_bytes=args.checkpoint_every,
+            verbose=not args.json)
+        if args.json:
+            print(json.dumps(stats))
+
+    elif args.cmd == "cohort":
+        import json
+        from quickmer2_tpu.pipelines.cohort import run_cohort
+        qm = args.fasta if args.fasta.endswith(".qm") else args.fasta + ".qm"
+        pairs = []
+        for p in args.pairs:
+            sample, _, out = p.rpartition(":")
+            if not sample:
+                raise SystemExit(f"cohort pair {p!r} must be sample:out_prefix")
+            pairs.append((sample, out))
+        stats = run_cohort(qm, pairs, batch_bases=args.batch_bases,
+                           mode=args.mode,
+                           ref_fasta=args.fasta if args.mode == "anchored"
+                           else None,
+                           read_len=args.read_len,
+                           data_devices=args.data_devices,
+                           verbose=not args.json)
+        if args.json:
+            print(json.dumps(stats))
 
     elif args.cmd == "est":
         from quickmer2_tpu.pipelines.est import run_est

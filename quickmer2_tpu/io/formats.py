@@ -221,7 +221,10 @@ def write_qai(path: str, k: int, genome_len: int, tiles: np.ndarray,
               + struct.pack("<BBH", k, int(bool(has_neighbor_bits)), 0)
               + struct.pack("<QQQQ", genome_len, len(pos), tiles.shape[0],
                             fingerprint))
-    tmp = path + ".tmp"
+    # pid-unique tmp + atomic rename: concurrent builders (multi-host
+    # count processes racing to cache the same index) each land a
+    # complete file; last rename wins, readers never see a torn file
+    tmp = f"{path}.tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(header)
         tiles.tofile(f)

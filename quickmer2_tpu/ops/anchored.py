@@ -112,6 +112,27 @@ class AnchoredIndex:
                    jnp.asarray(dblock), len(dict_end_pos),
                    has_neighbor_bits=has_neighbor_bits)
 
+    @staticmethod
+    def estimate_hbm_bytes(n_kmers: int, genome_len: int) -> dict:
+        """Per-device HBM budget of the anchored structures BEFORE
+        building them (pipelines.count uses this to fall back to the
+        flat dict-shardable path when they cannot fit — reference
+        scale: a GRCh38 2³²-slot dictionary is ~49 GB on disk,
+        tutorial.md:90-91, and the packed rows dominate here).
+
+        rows   = n_buckets * 32 B  (two-choice buckets at load 0.5)
+        tiles  = G bytes           (u8 code+flag per base)
+        dblock = G/DBLK * 16 B     (prefix-count rows)
+        """
+        from quickmer2_tpu.ops.packed_table import ENTRIES_PER_BUCKET
+        n_buckets = 1 << max(1, int(np.ceil(np.log2(
+            max(n_kmers, 1) / (ENTRIES_PER_BUCKET * 0.5)))))
+        rows = n_buckets * 4 * ENTRIES_PER_BUCKET * 4
+        tiles = -(-genome_len // GBLK) * GBLK
+        dblock = -(-genome_len // DBLK) * 16
+        return {"rows": rows, "tiles": tiles, "dblock": dblock,
+                "total": rows + tiles + dblock}
+
     @classmethod
     def load(cls, qai_path: str, dic) -> "AnchoredIndex":
         """Load a persisted .qai companion; the cheap derivations (dblock,
@@ -691,6 +712,26 @@ anchored_count_batch = jax.jit(
                      "dirty_run_width", "neighbor_mode"))
 
 
+def _anchored_count_kernel_packed(packed, aux, rows, genome_tiles,
+                                  dblock, diff, spill_mask, *, fmt: str,
+                                  read_len: int, **kw):
+    """anchored_count_kernel on 2-bit packed rows (ops.rowpack): the
+    unpack inlines into the same jit, so ~0.26-0.38 bytes/base cross
+    the host↔device link instead of 1. fmt: "lens" (suffix-padded
+    rows, u16 aux) or "mask" (invalid bitmask aux)."""
+    from quickmer2_tpu.ops import rowpack
+    reads = rowpack.unpack_batch(fmt, packed, aux, read_len=read_len)
+    return anchored_count_kernel(reads, rows, genome_tiles, dblock, diff,
+                                 spill_mask, read_len=read_len, **kw)
+
+
+anchored_count_batch_packed = jax.jit(
+    _anchored_count_kernel_packed,
+    static_argnames=("fmt", "k", "read_len", "n_buckets", "anchor_offsets",
+                     "max_runs", "max_dirty", "max_dirty_runs",
+                     "dirty_run_width", "neighbor_mode"))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
 def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int):
     """Exact per-k-mer probe over read rows, masked per read — used for
@@ -712,6 +753,18 @@ def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int):
     return depth.at[point].add(1, mode="promise_in_bounds")
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("fmt", "k", "n_buckets", "read_len"))
+def exact_count_rows_packed(packed, aux, rows, depth, *, fmt: str, k: int,
+                            n_buckets: int, read_len: int):
+    """exact_count_rows on 2-bit packed rows (all rows unmasked)."""
+    from quickmer2_tpu.ops import rowpack
+    reads = rowpack.unpack_batch(fmt, packed, aux, read_len=read_len)
+    mask = jnp.ones(reads.shape[0], bool)
+    return exact_count_rows(reads, mask, rows, depth, k=k,
+                            n_buckets=n_buckets)
+
+
 class AnchoredDepthCounter:
     """Feeds fixed-length read rows through the anchored fast path.
 
@@ -731,10 +784,26 @@ class AnchoredDepthCounter:
                  tier2_run_width: int = 32,
                  anchor_offsets: tuple | None = None,
                  neighbor_mode: bool | None = None,
-                 spill_lag: int = 3):
+                 spill_lag: int = 3, pack_h2d: bool = True,
+                 prefetch_puts: bool = True):
         self.index = index
         self.k = k
         self.read_len = read_len
+        # 2-bit pack rows before device_put (ops.rowpack): ~2.7-3.8x
+        # less host→device traffic, bit-identical results (the unpack
+        # is exact). Off switch kept for A/B measurement.
+        self.pack_h2d = pack_h2d
+        # prefetch_puts: pack+device_put run on a dedicated transfer
+        # thread one batch ahead, so the (possibly slow) host→device
+        # link overlaps parsing and device dispatch. Dispatch order is
+        # decided by the main thread, so results stay deterministic.
+        self._xfer = None
+        if pack_h2d and prefetch_puts:
+            import concurrent.futures
+            self._xfer = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="qm2-h2d")
+        self._put_q = collections.deque()
+        self._put_depth = 1
         self.batch_reads = batch_reads
         self.max_runs = max_runs
         self.max_dirty = max_dirty
@@ -787,6 +856,9 @@ class AnchoredDepthCounter:
     def feed_reads(self, reads_rows: np.ndarray) -> None:
         """reads_rows: u8[R, read_len] code rows (SEP-padded)."""
         assert reads_rows.shape[1] == self.read_len
+        # counted here, not in _run: batch-shape padding rows (all-SEP,
+        # can never anchor or spill) are not reads
+        self.n_reads += len(reads_rows)
         self._pending.append(reads_rows)
         self._pending_rows += len(reads_rows)
         while self._pending_rows >= self.batch_reads:
@@ -812,21 +884,67 @@ class AnchoredDepthCounter:
                     max_dirty_runs=self.tier2_dirty_runs,
                     dirty_run_width=self.tier2_run_width)
 
-    def _kernel_step(self, batch: np.ndarray, tier: int):
+    def _pack_put(self, batch: np.ndarray):
+        """Pack a host batch and move it to device (runs on the
+        transfer thread when prefetching)."""
+        from quickmer2_tpu.ops import rowpack
+        fmt, pk, aux = rowpack.pack_batch(batch)
+        return fmt, jnp.asarray(pk), jnp.asarray(aux)
+
+    def _kernel_step(self, batch: np.ndarray, tier: int, put=None):
         """Run one anchored batch on device, accumulate into self.diff,
         return the spill mask (device array or ndarray; materialized
         lazily by _drain_one)."""
         ix = self.index
-        self.diff, spilled = anchored_count_batch(
-            jnp.asarray(batch), ix.rows, ix.genome_tiles, ix.dblock,
-            self.diff, None, **self._tier_kw(tier))
+        if put is not None:
+            fmt, pk, aux = put
+            self.diff, spilled = anchored_count_batch_packed(
+                pk, aux, ix.rows, ix.genome_tiles, ix.dblock, self.diff,
+                None, fmt=fmt, **self._tier_kw(tier))
+        else:
+            self.diff, spilled = anchored_count_batch(
+                jnp.asarray(batch), ix.rows, ix.genome_tiles, ix.dblock,
+                self.diff, None, **self._tier_kw(tier))
         return spilled
 
-    def _exact_step(self, batch: np.ndarray) -> None:
+    def _exact_step(self, batch: np.ndarray, put=None) -> None:
         ix = self.index
-        self.exact_acc = exact_count_rows(
-            jnp.asarray(batch), jnp.ones(len(batch), bool), ix.rows,
-            self.exact_acc, k=self.k, n_buckets=ix.n_buckets)
+        if put is not None:
+            fmt, pk, aux = put
+            self.exact_acc = exact_count_rows_packed(
+                pk, aux, ix.rows, self.exact_acc, fmt=fmt,
+                k=self.k, n_buckets=ix.n_buckets, read_len=self.read_len)
+        else:
+            self.exact_acc = exact_count_rows(
+                jnp.asarray(batch), jnp.ones(len(batch), bool), ix.rows,
+                self.exact_acc, k=self.k, n_buckets=ix.n_buckets)
+
+    # -- transfer queue: pack+put one batch ahead of dispatch ----------
+
+    def _enqueue(self, kind, batch: np.ndarray) -> None:
+        """kind: tier 1, tier 2, or "exact". Pack+put is submitted to
+        the transfer thread (or done inline); kernel dispatch happens
+        on the main thread in FIFO order, one batch behind the puts."""
+        if not self.pack_h2d:
+            payload = None
+        elif self._xfer is not None:
+            payload = self._xfer.submit(self._pack_put, batch)
+        else:
+            payload = self._pack_put(batch)
+        self._put_q.append((kind, batch, payload))
+        while len(self._put_q) > self._put_depth:
+            self._dispatch_oldest()
+
+    def _dispatch_oldest(self) -> None:
+        kind, batch, payload = self._put_q.popleft()
+        put = payload.result() if hasattr(payload, "result") else payload
+        if kind == "exact":
+            self._exact_step(batch, put=put)
+            return
+        mask = self._kernel_step(batch, kind, put=put)
+        self._inflight.append((batch, mask, kind))
+        while len(self._inflight) > self._lag:
+            self._drain_one()
 
     def _merged_accumulators(self) -> tuple[np.ndarray, np.ndarray]:
         diff = np.asarray(jax.device_get(self.diff)).astype(np.uint32)
@@ -836,20 +954,13 @@ class AnchoredDepthCounter:
     # -------------------------------------------------------------------
 
     def _run(self, batch: np.ndarray) -> None:
-        mask = self._kernel_step(batch, tier=1)
-        self.n_reads += len(batch)
-        self._inflight.append((batch, mask, 1))
-        while len(self._inflight) > self._lag:
-            self._drain_one()
+        self._enqueue(1, batch)
 
     def _run_tier2(self, batch: np.ndarray) -> None:
         if self.tier2_run_width == 0 and self.tier2_max_dirty == 0:
             self._run_exact(batch)
             return
-        mask = self._kernel_step(batch, tier=2)
-        self._inflight.append((batch, mask, 2))
-        while len(self._inflight) > self._lag:
-            self._drain_one()
+        self._enqueue(2, batch)
 
     def _drain_one(self) -> None:
         """Materialize the oldest in-flight spill mask and route its
@@ -881,7 +992,7 @@ class AnchoredDepthCounter:
                 self._run_exact(buf[: self.batch_reads])
 
     def _run_exact(self, batch: np.ndarray) -> None:
-        self._exact_step(batch)
+        self._enqueue("exact", batch)
 
     def _flush_padded(self, parts: list[np.ndarray], runner) -> None:
         buf = np.concatenate(parts)
@@ -896,9 +1007,12 @@ class AnchoredDepthCounter:
         if self._pending_rows:
             self._flush_padded(self._pending, self._run)
             self._pending, self._pending_rows = [], 0
-        # drain lagged spill masks; routing tier-1 spills enqueues tier-2
-        # work (and so on), so loop until everything has settled
-        while self._inflight or self._spill_rows or self._spill2_rows:
+        # drain queued puts + lagged spill masks; routing tier-1 spills
+        # enqueues tier-2 work (and so on), so loop until settled
+        while (self._put_q or self._inflight or self._spill_rows
+               or self._spill2_rows):
+            while self._put_q:
+                self._dispatch_oldest()
             while self._inflight:
                 self._drain_one()
             if self._spill_rows:
@@ -907,6 +1021,9 @@ class AnchoredDepthCounter:
             elif self._spill2_rows:
                 parts, self._spill2, self._spill2_rows = self._spill2, [], 0
                 self._flush_padded(parts, self._run_exact)
+        if self._xfer is not None:
+            self._xfer.shutdown(wait=True)
+            self._xfer = None   # later feeds fall back to inline puts
         diff, acc = self._merged_accumulators()
         depth = np.cumsum(diff, dtype=np.uint32)[: self.index.n_kmers]
         depth += acc[: self.index.n_kmers]
@@ -930,8 +1047,11 @@ class AnchoredDepthCounter:
         counter state as (arrays, meta). With the byte offset and parser
         state held by the caller this determines the remaining
         computation exactly; restore() + the same remaining stream
-        reproduces finish() bit-for-bit. Draining _inflight first means
-        the spill counters in meta are exact, never lagged."""
+        reproduces finish() bit-for-bit. Draining the put queue and
+        _inflight first means the spill counters in meta are exact,
+        never lagged."""
+        while self._put_q:
+            self._dispatch_oldest()
         while self._inflight:
             self._drain_one()
         arrays = {"diff": np.asarray(jax.device_get(self.diff)),
@@ -957,6 +1077,7 @@ class AnchoredDepthCounter:
         self._spill, self._spill_rows = rows_of("spill")
         self._spill2, self._spill2_rows = rows_of("spill2")
         self._inflight.clear()
+        self._put_q.clear()
         self.n_reads = int(meta["n_reads"])
         self.n_spilled = int(meta["n_spilled"])
         self.n_spilled2 = int(meta["n_spilled2"])

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from quickmer2_tpu.ops import rowpack
 from quickmer2_tpu.ops.anchored import (
     AnchoredDepthCounter, AnchoredIndex, anchored_count_kernel,
     exact_count_rows)
@@ -56,6 +57,7 @@ class ShardedAnchoredCounter(AnchoredDepthCounter):
         self._tiles = jax.device_put(index.genome_tiles, rep)
         self._dblock = jax.device_put(index.dblock, rep)
         self._sh_reads = NamedSharding(mesh, P("data", None, None))
+        self._sh_lens = NamedSharding(mesh, P("data", None))
         self._sh_acc = NamedSharding(mesh, P("data", None))
         n = index.n_kmers
         self.diff = jax.device_put(
@@ -78,51 +80,74 @@ class ShardedAnchoredCounter(AnchoredDepthCounter):
 
     # -- shard_map-wrapped device steps --------------------------------
 
-    def _make_step(self, tier: int):
+    def _make_step(self, tier: int, fmt: str):
         kw = self._tier_kw(tier)
+        L = self.read_len
 
-        def local(reads, rows, tiles, dblock, diff):
+        def local(packed, aux, rows, tiles, dblock, diff):
+            reads = rowpack.unpack_batch(fmt, packed[0], aux[0], read_len=L)
             d, sp = anchored_count_kernel(
-                reads[0], rows, tiles, dblock, diff[0], None, **kw)
+                reads, rows, tiles, dblock, diff[0], None, **kw)
             return d[None], sp[None]
 
+        aux_spec = P("data", None) if fmt == "lens" else P("data", None, None)
         smapped = jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(P("data", None, None), P(), P(), P(),
-                      P("data", None)),
+            in_specs=(P("data", None, None), aux_spec,
+                      P(), P(), P(), P("data", None)),
             out_specs=(P("data", None), P("data", None)))
-        return jax.jit(smapped, donate_argnums=(4,))
+        return jax.jit(smapped, donate_argnums=(5,))
 
-    def _make_exact_step(self):
-        k, nb = self.k, self.index.n_buckets
+    def _make_exact_step(self, fmt: str):
+        k, nb, L = self.k, self.index.n_buckets, self.read_len
 
-        def local(reads, rows, depth):
-            mask = jnp.ones(reads.shape[1], bool)
-            return exact_count_rows(reads[0], mask, rows, depth[0],
+        def local(packed, aux, rows, depth):
+            reads = rowpack.unpack_batch(fmt, packed[0], aux[0], read_len=L)
+            mask = jnp.ones(reads.shape[0], bool)
+            return exact_count_rows(reads, mask, rows, depth[0],
                                     k=k, n_buckets=nb)[None]
 
+        aux_spec = P("data", None) if fmt == "lens" else P("data", None, None)
         smapped = jax.shard_map(
             local, mesh=self.mesh,
-            in_specs=(P("data", None, None), P(), P("data", None)),
+            in_specs=(P("data", None, None), aux_spec,
+                      P(), P("data", None)),
             out_specs=P("data", None))
-        return jax.jit(smapped, donate_argnums=(2,))
+        return jax.jit(smapped, donate_argnums=(3,))
 
-    def _kernel_step(self, batch: np.ndarray, tier: int):
-        if tier not in self._steps:
-            self._steps[tier] = self._make_step(tier)
-        shards = batch.reshape(self.dp, -1, self.read_len)
-        reads = jax.device_put(shards, self._sh_reads)
-        self.diff, spilled = self._steps[tier](
-            reads, self._rows, self._tiles, self._dblock, self.diff)
+    def _pack_put(self, batch: np.ndarray):
+        """Pack + shard-put: aux rides the same ("data",) layout as the
+        packed codes ("lens" u16 lengths or "mask" bitmask rows)."""
+        fmt, pk, aux = rowpack.pack_batch(batch)
+        pk = jax.device_put(pk.reshape(self.dp, -1, pk.shape[1]),
+                            self._sh_reads)
+        if aux.ndim == 1:       # "lens"
+            aux = jax.device_put(aux.reshape(self.dp, -1), self._sh_lens)
+        else:                   # "mask"
+            aux = jax.device_put(aux.reshape(self.dp, -1, aux.shape[1]),
+                                 self._sh_reads)
+        return fmt, pk, aux
+
+    def _kernel_step(self, batch: np.ndarray, tier: int, put=None):
+        if put is None:
+            put = self._pack_put(batch)   # pack_h2d=False still shards
+        fmt, pk, aux = put
+        key = (tier, fmt)
+        if key not in self._steps:
+            self._steps[key] = self._make_step(tier, fmt)
+        self.diff, spilled = self._steps[key](
+            pk, aux, self._rows, self._tiles, self._dblock, self.diff)
         return spilled  # (dp, batch/dp) device mask; drained lazily
 
-    def _exact_step(self, batch: np.ndarray) -> None:
-        if "exact" not in self._steps:
-            self._steps["exact"] = self._make_exact_step()
-        shards = batch.reshape(self.dp, -1, self.read_len)
-        reads = jax.device_put(shards, self._sh_reads)
-        self.exact_acc = self._steps["exact"](
-            reads, self._rows, self.exact_acc)
+    def _exact_step(self, batch: np.ndarray, put=None) -> None:
+        if put is None:
+            put = self._pack_put(batch)
+        fmt, pk, aux = put
+        key = ("exact", fmt)
+        if key not in self._steps:
+            self._steps[key] = self._make_exact_step(fmt)
+        self.exact_acc = self._steps[key](pk, aux, self._rows,
+                                          self.exact_acc)
 
     def _merged_accumulators(self):
         merged = jax.jit(lambda d, a: (jnp.sum(d, axis=0, dtype=jnp.uint32),

@@ -144,28 +144,45 @@ def allreduce_depth(local_depth: np.ndarray,
 
 def run_count_distributed(qm_path: str, sample_path: str, out_prefix: str,
                           batch_bases: int = 1 << 24, fmt: str | None = None,
-                          verbose: bool = True) -> dict:
+                          verbose: bool = True, mode: str = "flat",
+                          ref_fasta: str | None = None,
+                          read_len: int | None = None,
+                          data_devices: int | None = None) -> dict:
     """Data-parallel count across jax processes: each process counts its
-    record-aligned byte shard, partials merge with one all-reduce, and
-    process 0 writes the artifacts."""
+    record-aligned byte shard through the standard StreamCounter (so
+    mode="anchored" runs the fast path per host — each process loads or
+    builds the shared .qai companion — with oversize reads routed to
+    the flat path exactly like single-process runs), the per-host
+    partials merge with one chunked all-reduce, and process 0 writes
+    the artifacts. data_devices additionally shards each host's stream
+    over its local devices."""
     from quickmer2_tpu.dictionary import Dictionary
     from quickmer2_tpu.io import formats
     from quickmer2_tpu.pipelines.count import (
-        DepthCounter, _companion, gc_curve_from_depth, make_packer)
+        StreamCounter, _companion, gc_curve_from_depth, make_packer)
 
     dictionary = Dictionary.from_qm(qm_path)
-    counter = DepthCounter(dictionary, batch_bases=batch_bases)
+    index = None
+    if mode == "anchored":
+        from quickmer2_tpu.ops.anchored import AnchoredIndex
+        if ref_fasta is None:
+            ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
+        index = AnchoredIndex.from_dictionary_and_fasta(
+            dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
+    sc = StreamCounter(dictionary, mode=mode, index=index,
+                       batch_bases=batch_bases, read_len=read_len,
+                       data_devices=data_devices)
     lo, length = byte_shard(sample_path)
     with open(sample_path, "rb") as f:
         is_fastq = f.read(1) == b"@"
     packer = make_packer(fmt or ("fastq" if is_fastq else "fasta-lines"))
     for chunk in read_shard(sample_path, lo, length):
-        counter.feed_codes(packer.feed(chunk))
-    local = counter.finish()
+        sc.feed_codes(packer.feed(chunk))
+    local = sc.finish()
     depth = allreduce_depth(local)
 
     stats = {"n_kmers": dictionary.n_kmers, "process": jax.process_index(),
-             "shard": (lo, length)}
+             "shard": (lo, length), **sc.stats}
     if jax.process_index() == 0:
         depth_u16 = (depth & 0xFFFF).astype(np.uint16)
         formats.write_u16(out_prefix + ".bin", depth_u16)

@@ -498,7 +498,8 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
               read_len: int | None = None,
               checkpoint_path: str | None = None,
               checkpoint_every_bytes: int = 1 << 30,
-              data_devices: int | None = None) -> dict:
+              data_devices: int | None = None,
+              hbm_limit_bytes: int | None = None) -> dict:
     """Full count phase: .qm + reads → <out_prefix>.bin (+ .txt if the
     dictionary's .qgc companion exists). Returns summary stats.
 
@@ -520,17 +521,43 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
     t0 = time.time()
     dictionary = Dictionary.from_qm(qm_path)
     index = None
+    fallback = None
     if mode == "anchored":
         from quickmer2_tpu.ops.anchored import AnchoredIndex
         if ref_fasta is None:
             ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
-        # persisted companion: first anchored count builds <fasta>.qai,
-        # every later one loads it (zero FASTA scanning / bitmap rebuild)
-        index = AnchoredIndex.from_dictionary_and_fasta(
-            dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
+        if hbm_limit_bytes is not None:
+            # budget check BEFORE building: genome length from the .qai
+            # header when present, else bounded above by the FASTA size
+            qai = ref_fasta + ".qai"
+            if os.path.exists(qai):
+                import struct as _struct
+                with open(qai, "rb") as f:
+                    g_est = _struct.unpack("<Q", f.read(16)[8:16])[0]
+            else:
+                g_est = os.path.getsize(ref_fasta)
+            est = AnchoredIndex.estimate_hbm_bytes(dictionary.n_kmers, g_est)
+            if est["total"] > hbm_limit_bytes:
+                fallback = {"reason": "anchored-structures-exceed-hbm",
+                            "estimate_bytes": est,
+                            "hbm_limit_bytes": hbm_limit_bytes}
+                mode = "flat"
+                if verbose:
+                    print(f"count: anchored structures need "
+                          f"~{est['total'] / 1e9:.1f} GB "
+                          f"(> limit {hbm_limit_bytes / 1e9:.1f} GB) — "
+                          f"falling back to the flat "
+                          f"{'sharded ' if data_devices else ''}path")
+        if mode == "anchored":
+            # persisted companion: first anchored count builds
+            # <fasta>.qai, every later one loads it (zero FASTA
+            # scanning / bitmap rebuild)
+            index = AnchoredIndex.from_dictionary_and_fasta(
+                dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
     sc = StreamCounter(dictionary, mode=mode, index=index,
                        batch_bases=batch_bases, read_len=read_len,
                        data_devices=data_devices)
+    setup_s = time.time() - t0
     import sys
     stream = sys.stdin.buffer if sample_path == "-" else open(sample_path, "rb")
     bytes_consumed = 0
@@ -561,6 +588,7 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
             fmt = fmt or ("fastq" if first[:1] == b"@" else "fasta-lines")
             packer = make_packer(fmt)
         data = first
+        t_stream = time.time()
         while data:
             sc.feed_codes(packer.feed(data))
             bytes_consumed += len(data)
@@ -575,7 +603,10 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
     finally:
         if sample_path != "-":
             stream.close()
+    stream_s = time.time() - t_stream
+    tf = time.time()
     depth = sc.finish()
+    finish_s = time.time() - tf
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)
     depth_u16 = (depth & 0xFFFF).astype(np.uint16)   # Q8 wrap parity
@@ -583,7 +614,13 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
 
     stats = {"n_kmers": dictionary.n_kmers,
              "elapsed_s": time.time() - t0,
+             "phases": {"setup_s": round(setup_s, 4),
+                        "stream_s": round(stream_s, 4),
+                        "finish_s": round(finish_s, 4)},
+             "bytes_consumed": bytes_consumed,
              **sc.stats}
+    if fallback is not None:
+        stats["fallback"] = fallback
     qgc_path = _companion(qm_path, ".qgc")
     if not os.path.exists(qgc_path):
         qgc_path = qm_path + ".qgc"

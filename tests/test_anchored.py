@@ -341,6 +341,44 @@ def test_qai_companion_persists_index(tmp_path):
         AnchoredIndex.load(fa + ".qai", dic)
 
 
+def test_rowpack_roundtrip():
+    """pack_rows/unpack_rows is exact for every row shape including
+    non-multiple-of-4/8 widths, SEP padding, and N bases."""
+    from quickmer2_tpu.ops import rowpack
+    rng = np.random.default_rng(3)
+    for L in (7, 32, 100, 150, 161):
+        rows = rng.integers(0, 4, size=(37, L)).astype(np.uint8)
+        # SEP tails of varying length + scattered invalid codes
+        lens = rng.integers(1, L + 1, size=37)
+        rows[np.arange(L)[None, :] >= lens[:, None]] = codec.SEP
+        rows[rng.random(rows.shape) < 0.01] = codec.SEP
+        pk, iv = rowpack.pack_rows(rows)
+        assert pk.shape == (37, -(-L // 4)) and iv.shape == (37, -(-L // 8))
+        out = np.asarray(rowpack.unpack_rows(pk, iv, read_len=L))
+        np.testing.assert_array_equal(out, rows)
+
+
+def test_packed_h2d_identical(world):
+    """pack_h2d=True must produce bit-identical depth to unpacked
+    feeding (same batches, same spills)."""
+    rng = np.random.default_rng(8)
+    chr1 = world["chr1"]
+    reads = helpers.simulate_reads(rng, chr1, 600, READ_LEN)
+    reads = helpers.mutate_reads(rng, reads, 0.01)
+    blob = "".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)).encode()
+    rows = rows_from_flat_codes(make_packer("fasta-lines").feed(blob),
+                                READ_LEN)
+    a = AnchoredDepthCounter(world["index"], K, READ_LEN, batch_reads=256,
+                             pack_h2d=True)
+    b = AnchoredDepthCounter(world["index"], K, READ_LEN, batch_reads=256,
+                             pack_h2d=False)
+    a.feed_reads(rows)
+    b.feed_reads(rows)
+    da, db = a.finish(), b.finish()
+    assert a.n_spilled == b.n_spilled
+    np.testing.assert_array_equal(da, db)
+
+
 def test_qai_fingerprint_rejects_rebuilt_dictionary(tmp_path):
     """A dictionary rebuilt over the same FASTA with different filter
     parameters can keep the same k and n_kmers while changing the k-mer
@@ -383,3 +421,37 @@ def test_qai_fingerprint_rejects_rebuilt_dictionary(tmp_path):
         dic, fa, cache_path=fa + ".qai")
     assert idx.n_kmers == dic.n_kmers
     assert formats.read_qai(fa + ".qai")[5] == dic.fingerprint
+
+
+def test_hbm_budget_fallback(tmp_path):
+    """When the anchored structures exceed a forced HBM cap, run_count
+    falls back to the flat path bit-identically and reports why
+    (VERDICT r2 Missing #4 / Next #8)."""
+    from quickmer2_tpu.io import formats
+    from quickmer2_tpu.ops.anchored import AnchoredIndex
+    from quickmer2_tpu.pipelines.count import run_count
+
+    rng = np.random.default_rng(44)
+    d = str(tmp_path)
+    chrom = helpers.random_genome(rng, 20000)
+    fa = d + "/g.fa"
+    helpers.write_fasta(fa, {"c1": chrom})
+    search_pipe.run_search(
+        fa, SearchConfig(kmer_size=K, hash_size=1 << 16, edit_distance=0,
+                         window_size=100), verbose=False)
+    reads = helpers.simulate_reads(rng, chrom, 500, 100)
+    fq = d + "/r.fq"
+    helpers.write_fastq(fq, reads)
+
+    est = AnchoredIndex.estimate_hbm_bytes(20000, 20000)
+    assert est["total"] > 0 and est["rows"] > est["dblock"]
+
+    s1 = run_count(fa + ".qm", fq, d + "/anch", verbose=False,
+                   mode="anchored", ref_fasta=fa)
+    assert "fallback" not in s1
+    s2 = run_count(fa + ".qm", fq, d + "/capped", verbose=False,
+                   mode="anchored", ref_fasta=fa, hbm_limit_bytes=1024)
+    assert s2["fallback"]["reason"] == "anchored-structures-exceed-hbm"
+    assert s2["mode"] == "flat"
+    np.testing.assert_array_equal(formats.read_u16(d + "/capped.bin"),
+                                  formats.read_u16(d + "/anch.bin"))

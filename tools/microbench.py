@@ -131,6 +131,57 @@ def main():
     t = honest_time(sort2, keys_hi, keys32, lat=lat)
     print(f"sort (u32,u32) 2-key:       {NQ/t/1e6:8.1f} M keys/s")
 
+    @jax.jit
+    def sort3(hi, lo):
+        s = jax.lax.sort((hi, lo, lo), num_keys=2)
+        return s[0][:8]
+    t = honest_time(sort3, keys_hi, keys32, lat=lat)
+    print(f"sort 2-key + payload:       {NQ/t/1e6:8.1f} M keys/s")
+
+    # --- scatter/gather mode + locality variants (ex-microbench2) ----
+    idx_sorted = jnp.sort(idx)
+    uq = jnp.asarray(rng.permutation(NB).astype(np.int32)[: min(NQ, NB)])
+
+    @jax.jit
+    def scat_u(idx):
+        def body(i, acc):
+            return acc.at[(idx + i) & (NB - 1)].add(
+                1, mode="promise_in_bounds", unique_indices=True)
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 jnp.zeros(NB, jnp.uint32))[:8]
+    t = honest_time(scat_u, uq, lat=lat)
+    print(f"scatter-add unique_indices: {int(uq.shape[0])*ITERS/t/1e6:8.1f} M adds/s")
+
+    t = honest_time(scat, idx_sorted, lat=lat)
+    print(f"scatter-add sorted idx:     {NQ*ITERS/t/1e6:8.1f} M adds/s")
+
+    # gathers from small tables (VMEM-resident candidates)
+    for lognb in (10, 14, 17, 21):
+        nb = 1 << lognb
+        tbl = jnp.asarray(rng.integers(0, 2**31, size=(nb, 4)).astype(np.uint32))
+
+        @jax.jit
+        def gs(idx, table, nb=nb):
+            def body(i, acc):
+                return acc + table[(idx + i) & (nb - 1)][:, 0]
+            return jax.lax.fori_loop(0, ITERS, body,
+                                     jnp.zeros(NQ, jnp.uint32))[:8]
+        t = honest_time(gs, idx, tbl, lat=lat)
+        print(f"gather 16B table 2^{lognb:2d} rows:{NQ*ITERS/t/1e6:8.1f} M rows/s")
+
+    # scatter-add 16B rows (one descriptor, 4-u32 payload)
+    vals = jnp.asarray(rng.integers(0, 3, size=(NQ, 4)).astype(np.uint32))
+
+    @jax.jit
+    def scat_row(idx, vals):
+        def body(i, acc):
+            return acc.at[(idx + i) & (NB - 1)].add(
+                vals, mode="promise_in_bounds")
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 jnp.zeros((NB, 4), jnp.uint32))[:8, 0]
+    t = honest_time(scat_row, idx, vals, lat=lat)
+    print(f"scatter-add 16B rows:       {NQ*ITERS/t/1e6:8.1f} M rows/s")
+
 
 if __name__ == "__main__":
     main()
