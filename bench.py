@@ -30,6 +30,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
 import io
 import json
+import os
 import sys
 import time
 
@@ -45,6 +46,11 @@ ERROR_RATES = (0.001, 0.003, 0.01)
 HEADLINE_RATE = 0.003
 BATCH_READS = 1 << 17
 CHUNK_BYTES = 1 << 23
+
+if os.environ.get("QM2_BENCH_SCALE") == "small":   # CPU shakedown only
+    GENOME_BASES = 1 << 18
+    N_READS = 1 << 14
+    BATCH_READS = 1 << 12
 
 
 def log(msg):

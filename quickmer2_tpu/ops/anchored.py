@@ -462,7 +462,9 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
                           anchor_offsets: tuple = (0, 30, 60, 91),
                           max_runs: int = 4, max_dirty: int = 8,
                           max_dirty_runs: int = 0, dirty_run_width: int = 0,
-                          neighbor_mode: bool = False):
+                          neighbor_mode: bool = False,
+                          dict_axis: str | None = None,
+                          block_buckets: int = 0):
     """Process one batch of fixed-length reads.
 
     reads: u8[R, read_len] code rows (SEP-padded). diff: u32[n_kmers+2]
@@ -471,11 +473,36 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
     Returns (diff, spill_mask) — spill_mask marks reads that must be
     recounted by the exact per-k-mer path (their contributions are NOT
     in diff).
+
+    dict_axis: when set (inside shard_map), `rows` is this device's
+    contiguous bucket block of block_buckets buckets and the packed
+    rows array no longer needs to fit one HBM (the >HBM escape for the
+    ~69 GB GRCh38-scale table). Anchor probes combine across the axis
+    with one psum; dirty/tier-2 probes scatter only local finds into
+    this device's diff partial (an entry lives on exactly one device);
+    the clean-run range-adds (driven by the replicated dblock) are
+    gated to the axis's first device. Tiles and dblock stay replicated
+    (~4 GB at GRCh38).
     """
     R, L = reads.shape
     W = L - k + 1
     n_diff = diff.shape[0]
     trash = n_diff - 1
+
+    if dict_axis is not None:
+        from quickmer2_tpu.ops.packed_table import probe_packed_block
+        blk_lo = (jax.lax.axis_index(dict_axis).astype(jnp.uint32)
+                  * jnp.uint32(block_buckets))
+        first_in_axis = jax.lax.axis_index(dict_axis) == 0
+
+        def probe_local(qhi, qlo, miss_rank):
+            return probe_packed_block(rows, qhi, qlo, n_buckets,
+                                      block_buckets, blk_lo, miss_rank)
+    else:
+        first_in_axis = True
+
+        def probe_local(qhi, qlo, miss_rank):
+            return probe_packed(rows, qhi, qlo, n_buckets, miss_rank)
 
     # --- per-read k-mer codes ---------------------------------------
     flat = reads.reshape(-1)
@@ -489,15 +516,25 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
     valid = jnp.pad(valid_f, (0, pad)).reshape(R, L)[:, :W]
 
     # --- anchoring ----------------------------------------------------
+    # probe all offsets locally, then (sharded) ONE psum combines the
+    # per-device results before the take-first priority scan
+    fs, ps = [], []
+    for j in anchor_offsets:
+        f, _, p = probe_local(chi[:, j], clo[:, j], jnp.uint32(0))
+        fs.append(f)
+        ps.append(jnp.where(f, p, jnp.uint32(0)))
+    fstk = jnp.stack(fs)
+    pstk = jnp.stack(ps)
+    if dict_axis is not None:
+        fstk = jax.lax.psum(fstk.astype(jnp.uint32), dict_axis) > 0
+        pstk = jax.lax.psum(pstk, dict_axis)
     a_found = jnp.zeros(R, bool)
     a_pos = jnp.zeros(R, jnp.int32)
     a_off = jnp.zeros(R, jnp.int32)
-    for j in anchor_offsets:
-        f, _, p = probe_packed(rows, chi[:, j], clo[:, j], n_buckets,
-                               jnp.uint32(0))
-        f = f & valid[:, j]
+    for i, j in enumerate(anchor_offsets):
+        f = fstk[i] & valid[:, j]
         take = f & ~a_found
-        a_pos = jnp.where(take, p.astype(jnp.int32), a_pos)
+        a_pos = jnp.where(take, pstk[i].astype(jnp.int32), a_pos)
         a_off = jnp.where(take, j, a_off)
         a_found = a_found | f
 
@@ -642,6 +679,10 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
                       s_f[:, None] + ends + (k - 1),
                       ge[:, None] - starts)
     run_ok = starts >= 0
+    if dict_axis is not None:
+        # the range-adds derive from the REPLICATED dblock: only the
+        # axis's first device contributes them, once
+        run_ok = run_ok & first_in_axis
     lo_r = rank_at(dblock, jnp.clip(q_start - 1, 0, G - 1))
     lo_r = jnp.where(q_start <= 0, jnp.uint32(0), lo_r)
     hi_r = rank_at(dblock, jnp.clip(q_end, 0, G - 1))
@@ -675,8 +716,10 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
             ahi = ahi[:, :dirty_run_width]
             alo = alo[:, :dirty_run_width]
             lane_ok = exists[:, None] & (off_l <= (d_ends[:, m] - sc)[:, None])
-            f, r, _ = probe_packed(rows, ahi.reshape(-1), alo.reshape(-1),
-                                   n_buckets, jnp.uint32(trash))
+            # local finds only under dict sharding: the entry lives on
+            # exactly one device; partials merge by sum at finalize
+            f, r, _ = probe_local(ahi.reshape(-1), alo.reshape(-1),
+                                  jnp.uint32(trash))
             point = jnp.where(lane_ok.reshape(-1) & f,
                               r.astype(jnp.int32), trash)
             diff = diff.at[point].add(1, mode="promise_in_bounds")
@@ -691,7 +734,7 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
             jc = jnp.minimum(j, W - 1)
             dhi = jnp.take_along_axis(chi, jc[:, None], axis=1)[:, 0]
             dlo = jnp.take_along_axis(clo, jc[:, None], axis=1)[:, 0]
-            f, r, _ = probe_packed(rows, dhi, dlo, n_buckets, jnp.uint32(trash))
+            f, r, _ = probe_local(dhi, dlo, jnp.uint32(trash))
             d_rank = d_rank.at[:, m].set(
                 jnp.where(got & f, r.astype(jnp.int32), trash))
             dm = dm & (jidx > j[:, None])
@@ -709,7 +752,8 @@ anchored_count_batch = jax.jit(
     anchored_count_kernel,
     static_argnames=("k", "read_len", "n_buckets", "anchor_offsets",
                      "max_runs", "max_dirty", "max_dirty_runs",
-                     "dirty_run_width", "neighbor_mode"))
+                     "dirty_run_width", "neighbor_mode", "dict_axis",
+                     "block_buckets"))
 
 
 def _anchored_count_kernel_packed(packed, aux, rows, genome_tiles,
@@ -729,15 +773,22 @@ anchored_count_batch_packed = jax.jit(
     _anchored_count_kernel_packed,
     static_argnames=("fmt", "k", "read_len", "n_buckets", "anchor_offsets",
                      "max_runs", "max_dirty", "max_dirty_runs",
-                     "dirty_run_width", "neighbor_mode"))
+                     "dirty_run_width", "neighbor_mode", "dict_axis",
+                     "block_buckets"))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
-def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int):
+@functools.partial(jax.jit, static_argnames=("k", "n_buckets", "dict_axis",
+                                             "block_buckets"))
+def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int,
+                     dict_axis: str | None = None, block_buckets: int = 0):
     """Exact per-k-mer probe over read rows, masked per read — used for
     spilled reads. Accumulates PLAIN counts (one scatter-add per k-mer
     — half the random ops of the diff-array convention); the caller
-    adds this accumulator to the cumsum'd diff array at finalize."""
+    adds this accumulator to the cumsum'd diff array at finalize.
+
+    dict_axis: sharded mode — `rows` is this device's bucket block;
+    only local finds are scattered (no collectives; partials merge by
+    sum at finalize)."""
     R, L = reads.shape
     W = L - k + 1
     trash = depth.shape[0] - 1
@@ -748,7 +799,15 @@ def exact_count_rows(reads, mask, rows, depth, *, k: int, n_buckets: int):
     clo = jnp.pad(clo_f, (0, pad)).reshape(R, L)[:, :W].reshape(-1)
     valid = jnp.pad(valid_f, (0, pad)).reshape(R, L)[:, :W]
     valid = (valid & mask[:, None]).reshape(-1)
-    f, r, _ = probe_packed(rows, chi, clo, n_buckets, jnp.uint32(trash))
+    if dict_axis is not None:
+        from quickmer2_tpu.ops.packed_table import probe_packed_block
+        blk_lo = (jax.lax.axis_index(dict_axis).astype(jnp.uint32)
+                  * jnp.uint32(block_buckets))
+        f, r, _ = probe_packed_block(rows, chi, clo, n_buckets,
+                                     block_buckets, blk_lo,
+                                     jnp.uint32(trash))
+    else:
+        f, r, _ = probe_packed(rows, chi, clo, n_buckets, jnp.uint32(trash))
     point = jnp.where(valid & f, r.astype(jnp.int32), trash)
     return depth.at[point].add(1, mode="promise_in_bounds")
 

@@ -93,25 +93,7 @@ def neighbor_occr_sum(khi, klo, rkhi, rklo,
     """
     N = khi.shape[0]
     M = p1.shape[0]
-    # broadcast: (N, M)
-    fhi = jnp.broadcast_to(khi[:, None], (N, M))
-    flo = jnp.broadcast_to(klo[:, None], (N, M))
-    rhi = jnp.broadcast_to(rkhi[:, None], (N, M))
-    rlo = jnp.broadcast_to(rklo[:, None], (N, M))
-    fhi, flo, rhi, rlo = _apply_edit_pair(fhi, flo, rhi, rlo,
-                                          p1[None, :], d1[None, :], k)
-    has2 = (p2 >= 0)[None, :]
-    p2c = jnp.maximum(p2, 0)[None, :]
-    fhi2, flo2, rhi2, rlo2 = _apply_edit_pair(fhi, flo, rhi, rlo,
-                                              p2c, d2[None, :], k)
-    fhi = jnp.where(has2, fhi2, fhi)
-    flo = jnp.where(has2, flo2, flo)
-    rhi = jnp.where(has2, rhi2, rhi)
-    rlo = jnp.where(has2, rlo2, rlo)
-
-    fwd_less = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
-    chi = jnp.where(fwd_less, fhi, rhi).reshape(-1)
-    clo = jnp.where(fwd_less, flo, rlo).reshape(-1)
+    chi, clo = _neighbor_canon(khi, klo, rkhi, rklo, p1, d1, p2, d2, k)
 
     idx0 = djb_pair(chi, clo) & jnp.uint32(hash_size - 1)
     step = jnp.where(idx0 & jnp.uint32(hash_size >> 1), -1, 1).astype(jnp.int32)
@@ -138,6 +120,49 @@ def neighbor_occr_sum(khi, klo, rkhi, rklo,
     match, _ = probe_once(idx)
     # k-mer code 0 "matches" empty slots (occr 0 there) — harmless
     contrib = jnp.where(match, occr[idx].astype(jnp.uint32), jnp.uint32(0))
+    return contrib.reshape(N, M).sum(axis=1, dtype=jnp.uint32)
+
+
+def _neighbor_canon(khi, klo, rkhi, rklo, p1, d1, p2, d2, k):
+    """Canonical (hi, lo) of every (k-mer, edit) pair — shared neighbor
+    generator for the probe-based sums. Returns flat u32[N*M] pairs."""
+    N = khi.shape[0]
+    M = p1.shape[0]
+    fhi = jnp.broadcast_to(khi[:, None], (N, M))
+    flo = jnp.broadcast_to(klo[:, None], (N, M))
+    rhi = jnp.broadcast_to(rkhi[:, None], (N, M))
+    rlo = jnp.broadcast_to(rklo[:, None], (N, M))
+    fhi, flo, rhi, rlo = _apply_edit_pair(fhi, flo, rhi, rlo,
+                                          p1[None, :], d1[None, :], k)
+    has2 = (p2 >= 0)[None, :]
+    p2c = jnp.maximum(p2, 0)[None, :]
+    fhi2, flo2, rhi2, rlo2 = _apply_edit_pair(fhi, flo, rhi, rlo,
+                                              p2c, d2[None, :], k)
+    fhi = jnp.where(has2, fhi2, fhi)
+    flo = jnp.where(has2, flo2, flo)
+    rhi = jnp.where(has2, rhi2, rhi)
+    rlo = jnp.where(has2, rlo2, rlo)
+    fwd_less = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    chi = jnp.where(fwd_less, fhi, rhi).reshape(-1)
+    clo = jnp.where(fwd_less, flo, rlo).reshape(-1)
+    return chi, clo
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
+def neighbor_occr_sum_packed(khi, klo, rkhi, rklo, rows,
+                             p1, d1, p2, d2, *, k: int, n_buckets: int):
+    """neighbor_occr_sum against the packed two-choice table
+    (ops.packed_table) with the occurrence count carried in each
+    entry's pos field: exactly TWO row gathers per neighbor instead of
+    the linear-probe while_loop's gather-per-step (up to ~2x17 at 50%
+    fill). Output-identical to neighbor_occr_sum on the same
+    dictionary contents."""
+    from quickmer2_tpu.ops.packed_table import probe_packed
+    N = khi.shape[0]
+    M = p1.shape[0]
+    chi, clo = _neighbor_canon(khi, klo, rkhi, rklo, p1, d1, p2, d2, k)
+    found, _, occ = probe_packed(rows, chi, clo, n_buckets, jnp.uint32(0))
+    contrib = jnp.where(found, occ, jnp.uint32(0))
     return contrib.reshape(N, M).sum(axis=1, dtype=jnp.uint32)
 
 

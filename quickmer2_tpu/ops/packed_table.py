@@ -200,6 +200,34 @@ def probe_packed_np(rows: np.ndarray, khi: np.ndarray, klo: np.ndarray,
     return found
 
 
+def probe_packed_block(local_rows, khi, klo, n_buckets: int,
+                       block_buckets: int, blk_lo, miss_rank):
+    """probe_packed against ONE contiguous bucket block of a
+    dict-sharded table (rows[blk_lo : blk_lo + block_buckets]). Buckets
+    are self-contained, so a key's entry lives on exactly one device:
+    local (found, rank, pos) from all devices combine by psum / any.
+    Foreign-lane candidates gather row 0 and never match (masked)."""
+    from quickmer2_tpu.ops.hash import djb_pair
+    h = djb_pair(khi, klo)
+    i1, i2 = bucket_hashes_jnp(h, n_buckets)
+    nonzero_q = (khi | klo) != 0
+    found = jnp.zeros(khi.shape, bool)
+    rank = jnp.full(khi.shape, miss_rank, jnp.uint32)
+    pos = jnp.zeros(khi.shape, jnp.uint32)
+    for cand in (i1, i2):
+        off = cand - jnp.uint32(blk_lo)          # u32 wrap for foreign
+        local = off < jnp.uint32(block_buckets)
+        idx = jnp.where(local, off, 0).astype(jnp.int32)
+        r = local_rows[idx]
+        for e in range(ENTRIES_PER_BUCKET):
+            m = local & nonzero_q & (r[:, 4 * e] == khi) \
+                & (r[:, 4 * e + 1] == klo)
+            found = found | m
+            rank = jnp.where(m, r[:, 4 * e + 2], rank)
+            pos = jnp.where(m, r[:, 4 * e + 3], pos)
+    return found, rank, pos
+
+
 def probe_packed(rows, khi, klo, n_buckets: int, miss_rank):
     """Device probe: exactly two row gathers. Returns (found bool[N],
     rank u32[N], pos u32[N]); misses get miss_rank and pos 0."""

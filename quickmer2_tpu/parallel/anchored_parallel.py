@@ -43,76 +43,106 @@ from quickmer2_tpu.ops.anchored import (
 
 class ShardedAnchoredCounter(AnchoredDepthCounter):
     """AnchoredDepthCounter whose device steps run under shard_map over
-    the mesh's "data" axis. Same feed_reads/finish interface and
-    bit-identical output."""
+    the mesh's "data" axis — and, when the mesh's "dict" axis is wider
+    than 1, with the packed rows bucket-block-sharded over it (the >HBM
+    escape for GRCh38-scale tables: ~69 GB of rows split across
+    devices, tiles/dblock replicated). Same feed_reads/finish interface
+    and bit-identical output for every mesh shape."""
 
     def __init__(self, index: AnchoredIndex, k: int, read_len: int,
                  mesh: Mesh, batch_reads: int = 1 << 15, **kw):
         self.mesh = mesh
         self.dp = mesh.shape["data"]
+        self.ds = mesh.shape.get("dict", 1)
         batch_reads = -(-batch_reads // self.dp) * self.dp
         super().__init__(index, k, read_len, batch_reads=batch_reads, **kw)
         rep = NamedSharding(mesh, P())
-        self._rows = jax.device_put(index.rows, rep)
+        if self.ds > 1:
+            assert index.n_buckets % self.ds == 0
+            self.block_buckets = index.n_buckets // self.ds
+            rows = np.asarray(index.rows).reshape(
+                self.ds, self.block_buckets, -1)
+            self._rows = jax.device_put(
+                rows, NamedSharding(mesh, P("dict", None, None)))
+        else:
+            self.block_buckets = 0
+            self._rows = jax.device_put(index.rows, rep)
         self._tiles = jax.device_put(index.genome_tiles, rep)
         self._dblock = jax.device_put(index.dblock, rep)
         self._sh_reads = NamedSharding(mesh, P("data", None, None))
         self._sh_lens = NamedSharding(mesh, P("data", None))
-        self._sh_acc = NamedSharding(mesh, P("data", None))
+        self._sh_acc = NamedSharding(mesh, P("data", "dict", None))
         n = index.n_kmers
         self.diff = jax.device_put(
-            np.zeros((self.dp, n + 2), np.uint32), self._sh_acc)
+            np.zeros((self.dp, self.ds, n + 2), np.uint32), self._sh_acc)
         self.exact_acc = jax.device_put(
-            np.zeros((self.dp, n + 2), np.uint32), self._sh_acc)
+            np.zeros((self.dp, self.ds, n + 2), np.uint32), self._sh_acc)
         self._steps: dict = {}
 
     def _put_accumulators(self, diff: np.ndarray, acc: np.ndarray) -> None:
         """Checkpoint restore: per-device partials go back sharded.
-        Snapshots are mesh-shape-portable only when dp matches; a dp
+        Snapshots are mesh-shape-portable only when dp/ds match; a mesh
         change would need a host-side re-partition of the partials
         (sum then re-zero), so it is rejected instead."""
-        if diff.shape != (self.dp, self.index.n_kmers + 2):
+        if diff.shape != (self.dp, self.ds, self.index.n_kmers + 2):
             raise ValueError(
                 f"checkpoint accumulator shape {diff.shape} does not match "
-                f"dp={self.dp}; resume with the same data_devices")
+                f"dp={self.dp}, ds={self.ds}; resume with the same mesh")
         self.diff = jax.device_put(diff, self._sh_acc)
         self.exact_acc = jax.device_put(acc, self._sh_acc)
 
     # -- shard_map-wrapped device steps --------------------------------
 
+    def _kernel_dict_kw(self) -> dict:
+        if self.ds > 1:
+            return {"dict_axis": "dict", "block_buckets": self.block_buckets}
+        return {}
+
     def _make_step(self, tier: int, fmt: str):
-        kw = self._tier_kw(tier)
+        kw = {**self._tier_kw(tier), **self._kernel_dict_kw()}
         L = self.read_len
+        sharded_dict = self.ds > 1
 
         def local(packed, aux, rows, tiles, dblock, diff):
             reads = rowpack.unpack_batch(fmt, packed[0], aux[0], read_len=L)
             d, sp = anchored_count_kernel(
-                reads, rows, tiles, dblock, diff[0], None, **kw)
-            return d[None], sp[None]
+                reads, rows[0] if sharded_dict else rows, tiles, dblock,
+                diff[0, 0], None, **kw)
+            if sharded_dict:
+                # identical on every dict device (inputs replicated,
+                # anchor results psum-combined); pmax marks it so
+                sp = jax.lax.pmax(sp.astype(jnp.uint8), "dict") != 0
+            return d[None, None], sp[None]
 
+        rows_spec = P("dict", None, None) if sharded_dict else P()
         aux_spec = P("data", None) if fmt == "lens" else P("data", None, None)
         smapped = jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(P("data", None, None), aux_spec,
-                      P(), P(), P(), P("data", None)),
-            out_specs=(P("data", None), P("data", None)))
+                      rows_spec, P(), P(), P("data", "dict", None)),
+            out_specs=(P("data", "dict", None), P("data", None)))
         return jax.jit(smapped, donate_argnums=(5,))
 
     def _make_exact_step(self, fmt: str):
         k, nb, L = self.k, self.index.n_buckets, self.read_len
+        sharded_dict = self.ds > 1
+        dkw = self._kernel_dict_kw()
 
         def local(packed, aux, rows, depth):
             reads = rowpack.unpack_batch(fmt, packed[0], aux[0], read_len=L)
             mask = jnp.ones(reads.shape[0], bool)
-            return exact_count_rows(reads, mask, rows, depth[0],
-                                    k=k, n_buckets=nb)[None]
+            return exact_count_rows(reads, mask,
+                                    rows[0] if sharded_dict else rows,
+                                    depth[0, 0], k=k, n_buckets=nb,
+                                    **dkw)[None, None]
 
+        rows_spec = P("dict", None, None) if sharded_dict else P()
         aux_spec = P("data", None) if fmt == "lens" else P("data", None, None)
         smapped = jax.shard_map(
             local, mesh=self.mesh,
             in_specs=(P("data", None, None), aux_spec,
-                      P(), P("data", None)),
-            out_specs=P("data", None))
+                      rows_spec, P("data", "dict", None)),
+            out_specs=P("data", "dict", None))
         return jax.jit(smapped, donate_argnums=(3,))
 
     def _pack_put(self, batch: np.ndarray):
@@ -150,8 +180,9 @@ class ShardedAnchoredCounter(AnchoredDepthCounter):
                                           self.exact_acc)
 
     def _merged_accumulators(self):
-        merged = jax.jit(lambda d, a: (jnp.sum(d, axis=0, dtype=jnp.uint32),
-                                       jnp.sum(a, axis=0, dtype=jnp.uint32)))(
+        merged = jax.jit(
+            lambda d, a: (jnp.sum(d, axis=(0, 1), dtype=jnp.uint32),
+                          jnp.sum(a, axis=(0, 1), dtype=jnp.uint32)))(
             self.diff, self.exact_acc)
         diff, acc = (np.asarray(jax.device_get(x)) for x in merged)
         return diff.astype(np.uint32), acc.astype(np.uint32)

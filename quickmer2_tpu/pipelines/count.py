@@ -94,6 +94,12 @@ count_step_packed = jax.jit(count_kernel_packed,
                             donate_argnums=(2,))
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _kmerize_step(codes, *, k: int):
+    """Device rolling codec only — feeds the sortjoin engine."""
+    return codec.sliding_kmers(codes, k)
+
+
 _SEP_ARR = np.array([SEP], np.uint8)
 
 
@@ -225,8 +231,9 @@ class DepthCounter:
     """Accumulates k-mer depth over streamed code batches on device.
 
     layout="packed" (default) uses the TPU-native bucketized two-choice
-    table (2 row gathers/k-mer); layout="linear" keeps the
-    reference-layout probe loop (used by compat tests). Both produce
+    table (2 row gathers/k-mer); layout="sortjoin" the random-access-
+    free sort-merge-join engine (ops.sortjoin); layout="linear" keeps
+    the reference-layout probe loop (used by compat tests). All produce
     identical depth vectors.
     """
 
@@ -242,6 +249,9 @@ class DepthCounter:
             # across counters (cohort batching, overflow side-counters)
             self._packed = packed_table or PackedTable.from_dictionary(dictionary)
             self.rows = self._packed.device_rows()
+        elif layout == "sortjoin":
+            from quickmer2_tpu.ops.sortjoin import SortJoinEngine
+            self._engine = SortJoinEngine(dictionary.kmers_in_order)
         else:
             hi, lo, rank = dictionary.device_arrays()
             self.table_hi = jnp.asarray(hi)
@@ -268,6 +278,9 @@ class DepthCounter:
             self.depth = count_step_packed(
                 jnp.asarray(batch), self.rows, self.depth, k=self.k,
                 n_buckets=self._packed.n_buckets)
+        elif self.layout == "sortjoin":
+            chi, clo, valid = _kmerize_step(jnp.asarray(batch), k=self.k)
+            self._engine.count_codes(chi, clo, valid)
         else:
             self.depth = count_step(
                 jnp.asarray(batch), self.table_hi, self.table_lo, self.rank,
@@ -285,6 +298,8 @@ class DepthCounter:
             for off in range(0, len(buf), self.batch_bases):
                 self._run(buf[off : off + self.batch_bases])
             self._pending, self._pending_len = [], 0
+        if self.layout == "sortjoin":
+            return self._engine.finish()
         return np.asarray(jax.device_get(self.depth))[:-1]
 
     # -- checkpoint/resume (utils.checkpoint) --------------------------
@@ -292,6 +307,10 @@ class DepthCounter:
     def snapshot(self) -> dict:
         """Device depth + residual host codes; with the stream offset and
         parser state this fully determines the remaining computation."""
+        if self.layout == "sortjoin":
+            raise NotImplementedError(
+                "sortjoin layout holds depth in key-sorted order; "
+                "checkpointing uses the packed layout")
         residual = np.concatenate([self._carry] + self._pending) \
             if (self._pending_len or len(self._carry)) else np.zeros(0, np.uint8)
         return {"depth": np.asarray(jax.device_get(self.depth)),
@@ -345,12 +364,14 @@ class StreamCounter:
                  index=None, batch_bases: int = 1 << 24,
                  read_len: int | None = None,
                  data_devices: int | None = None,
+                 dict_devices: int | None = None,
                  packed_table=None, counter_kw: dict | None = None):
         self.dict = dictionary
         self.mode = mode
         self.batch_bases = batch_bases
         self.read_len = read_len
         self.data_devices = data_devices
+        self.dict_devices = dict_devices
         self._packed_table = packed_table
         self._counter_kw = counter_kw or {}
         self.counter = None
@@ -378,13 +399,15 @@ class StreamCounter:
         from quickmer2_tpu.ops.anchored import AnchoredDepthCounter, RowStreamer
         self.read_len = read_len
         self.row_streamer = RowStreamer(read_len)
-        if self.data_devices and self.data_devices > 1:
+        dp = self.data_devices or 1
+        ds = self.dict_devices or 1
+        if dp > 1 or ds > 1:
             from quickmer2_tpu.parallel.anchored_parallel import (
                 ShardedAnchoredCounter)
             from quickmer2_tpu.parallel.mesh import make_mesh
             self.counter = ShardedAnchoredCounter(
                 self.index, self.dict.kmer_size, read_len,
-                make_mesh(self.data_devices, 1), **self._counter_kw)
+                make_mesh(dp, ds), **self._counter_kw)
         else:
             self.counter = AnchoredDepthCounter(
                 self.index, self.dict.kmer_size, read_len,

@@ -31,7 +31,7 @@ import numpy as np
 from quickmer2_tpu.dictionary import Dictionary
 from quickmer2_tpu.io import fasta as fasta_io
 from quickmer2_tpu.pipelines import emit as emit_mod
-from quickmer2_tpu.pipelines.search import _genome_kmers
+from quickmer2_tpu.pipelines.search import _chrom_kmers
 from quickmer2_tpu.utils import native
 
 
@@ -51,13 +51,13 @@ def run_sparse(fasta_path: str, thin: int, window_size: int = 1000,
     dic = Dictionary.from_qm(fasta_path + ".qm")
     k = dic.kmer_size
     chroms = list(fasta_io.iter_fasta(fasta_path))
-    per_chrom = _genome_kmers(chroms, k)
 
     table = np.ascontiguousarray(dic.table)
     ctrl_rows = emit_mod.read_ctrl(control_bed) if control_bed else None
     emitter = emit_mod.GenomeOrderEmitter(k, window_size, ctrl_rows)
 
-    for name, seq, canon, valid in per_chrom:
+    for name, seq in chroms:
+        canon, valid = _chrom_kmers(seq, k)
         if native.available():
             _, found = native.lookup_keys(table, canon)
         else:

@@ -70,7 +70,8 @@ def test_correct_mode_device_vs_bruteforce(rng, e):
     target = uniq[sat == 1][:256]
     want = brute_force_neighbor_sum(target.tolist(), cmap, K, e)
 
-    got_dev = search_pipe._device_filter(target, table, occr, H, K, e, batch=128)
+    got_dev = search_pipe._device_filter(target, uniq, sat.astype(np.uint8),
+                                         K, e, batch=128)
     np.testing.assert_array_equal(got_dev, want)
     got_host = search_pipe._host_filter(target, table, occr, H, K, e)
     np.testing.assert_array_equal(got_host, want)

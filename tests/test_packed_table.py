@@ -77,3 +77,32 @@ def test_count_packed_matches_linear(tmp_path, rng):
         outs[layout] = c.finish()
     np.testing.assert_array_equal(outs["packed"], outs["linear"])
     assert outs["packed"].sum() > 0
+
+
+def test_sortjoin_layout_matches_packed(rng):
+    """DepthCounter(layout="sortjoin") — the random-access-free
+    sort-merge-join engine — must produce bit-identical depth."""
+    from quickmer2_tpu.config import SearchConfig
+    from quickmer2_tpu.pipelines import search as search_pipe
+    from quickmer2_tpu.pipelines.count import DepthCounter, make_packer
+    from tests import helpers
+    import tempfile
+
+    chrom = helpers.random_genome(rng, 20000)
+    d = tempfile.mkdtemp()
+    fa = d + "/g.fa"
+    helpers.write_fasta(fa, {"c1": chrom})
+    dic = search_pipe.run_search(
+        fa, SearchConfig(kmer_size=30, hash_size=1 << 16, edit_distance=0,
+                         window_size=100), verbose=False)
+    reads = helpers.simulate_reads(rng, chrom, 1500, 100)
+    reads += ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(40)]
+    reads = helpers.mutate_reads(rng, reads, 0.01)
+    blob = "".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)).encode()
+    codes = make_packer("fasta-lines").feed(blob)
+
+    a = DepthCounter(dic, batch_bases=1 << 15, layout="packed")
+    b = DepthCounter(dic, batch_bases=1 << 15, layout="sortjoin")
+    a.feed_codes(codes)
+    b.feed_codes(codes)
+    np.testing.assert_array_equal(b.finish(), a.finish())

@@ -92,10 +92,15 @@ def anchored_setup(tmp_path_factory):
     return {"dict": dic, "index": index, "rows": rows, "codes": codes}
 
 
-@pytest.mark.parametrize("dp", [1, 2, 4, 8])
-def test_anchored_sharded_matches(anchored_setup, single_anchored_depth, dp):
+@pytest.mark.parametrize("dp,ds", [(1, 1), (2, 1), (4, 1), (8, 1),
+                                   (1, 8), (2, 4), (4, 2)])
+def test_anchored_sharded_matches(anchored_setup, single_anchored_depth,
+                                  dp, ds):
+    """All mesh shapes — including dict-sharded rows (ds > 1, the >HBM
+    escape: bucket blocks per device, anchor psum, local dirty/exact
+    scatters) — must be bit-identical to the single-device counter."""
     from quickmer2_tpu.parallel.anchored_parallel import ShardedAnchoredCounter
-    mesh = make_mesh(dp, 1)
+    mesh = make_mesh(dp, ds)
     c = ShardedAnchoredCounter(anchored_setup["index"], K, 100, mesh,
                                batch_reads=512)
     c.feed_reads(anchored_setup["rows"])
