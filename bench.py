@@ -62,11 +62,13 @@ def build_genome(rng):
     g = rng.integers(0, 4, size=GENOME_BASES).astype(np.uint8)
     # repeats: ~8% of the genome is a second copy of another region →
     # those k-mers are non-unique and absent from the dictionary
-    for _ in range(64):
-        ln = int(rng.integers(300, 8000))
+    repeat_budget = GENOME_BASES // 12
+    while repeat_budget > 0:
+        ln = int(rng.integers(300, min(8000, GENOME_BASES // 8)))
         src = int(rng.integers(0, GENOME_BASES - ln))
         dst = int(rng.integers(0, GENOME_BASES - ln))
         g[dst:dst + ln] = g[src:src + ln]
+        repeat_budget -= ln
     # ED1 neighbors: k-windows copied elsewhere with ONE substitution —
     # the copy is a unique k-mer whose edit-distance-1 neighbor is also
     # in the genome, so the neighbor-hit bitmap gets real density
@@ -96,7 +98,7 @@ def build_dictionary(genome):
     return dic, dict_kmers, dict_pos
 
 
-_BASES = np.frombuffer(b"ACGT", np.uint8)
+_BASES = np.frombuffer(b"ACTG", np.uint8)   # codec order: A0 C1 T2 G3
 
 
 def make_fastq(rng, genome, err_rate):
@@ -127,13 +129,20 @@ def make_fastq(rng, genome, err_rate):
 
 
 def measure_h2d(jnp, jax):
-    """Measured tunnel H2D bandwidth (MB/s) on a 8 MB u8 buffer."""
-    x = np.zeros(1 << 23, np.uint8)
-    d = jax.device_put(x[: 1 << 16])
-    d.block_until_ready()
+    """Measured link H2D bandwidth (MB/s), 16 MB buffer. The transfer
+    is forced to completion by fetching a reduction of the data —
+    block_until_ready alone returns before the tunnel finishes."""
+    sz = 1 << 24
+    x = np.random.default_rng(1).integers(0, 255, size=sz, dtype=np.uint8)
+
+    @jax.jit
+    def chk(a):
+        return a[:: 65536].astype(jnp.uint32).sum()
+
+    np.asarray(chk(jax.device_put(x[: 1 << 16])))   # warm + compile
     t0 = time.time()
-    jax.device_put(x).block_until_ready()
-    return (1 << 23) / (time.time() - t0) / 1e6
+    np.asarray(chk(jax.device_put(x)))
+    return sz / (time.time() - t0) / 1e6
 
 
 def run_measured(dic, index, fastq, read_len):
@@ -156,6 +165,9 @@ def run_measured(dic, index, fastq, read_len):
 
 def main():
     import jax
+    if os.environ.get("QM2_BENCH_PLATFORM"):   # CPU shakedown; the axon
+        jax.config.update("jax_platforms",     # plugin force-sets the env
+                          os.environ["QM2_BENCH_PLATFORM"])
     import jax.numpy as jnp
     from quickmer2_tpu.ops.anchored import AnchoredIndex
 
