@@ -213,6 +213,8 @@ def main():
             headline = rate
         assert depth.sum() > 0
 
+    exact_diag(jax, jnp, dic, index, genome)
+
     print(json.dumps({
         "metric": "count_kmers_per_s_per_chip_e2e",
         "value": round(headline),
@@ -220,6 +222,75 @@ def main():
         "vs_baseline": round(headline / BASELINE_KMERS_PER_S, 3),
     }))
     log(f"# total bench time {time.time() - t0:.0f}s")
+
+
+def exact_diag(jax, jnp, dic, index, genome):
+    """Device-only rates of the two exact engines on a spill-shaped
+    batch (loop-in-jit, dispatch→fetch minus round-trip — diagnostic
+    for the spill/flat-mode budget; the headline above is measured
+    end-to-end)."""
+    from quickmer2_tpu.ops.anchored import exact_count_rows
+    from quickmer2_tpu.ops.sortjoin import SortJoinEngine, sortjoin_count_batch
+    from quickmer2_tpu.ops import codec
+
+    rng = np.random.default_rng(3)
+    R = BATCH_READS
+    starts = rng.integers(0, GENOME_BASES - READ_LEN, size=R)
+    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
+    reads_d = jnp.asarray(reads)
+    rows_d = index.rows
+    n = dic.n_kmers
+    iters = 4
+    W = READ_LEN - K + 1
+
+    @jax.jit
+    def trivial(x):
+        return x + 1
+
+    np.asarray(trivial(jnp.int32(0)))
+    t0 = time.time()
+    np.asarray(trivial(jnp.int32(1)))
+    lat = time.time() - t0
+
+    def timed(fn, *args):
+        np.asarray(jax.tree.leaves(fn(*args))[0])   # compile + warm
+        t0 = time.time()
+        out = np.asarray(jax.tree.leaves(fn(*args))[0])
+        return max(time.time() - t0 - lat, 1e-9)
+
+    @jax.jit
+    def packed_many(reads, rows, depth):
+        mask = jnp.ones(reads.shape[0], bool)
+
+        def body(i, depth):
+            return exact_count_rows(reads, mask, rows, depth, k=K,
+                                    n_buckets=index.n_buckets)
+        return jax.lax.fori_loop(0, iters, body, depth)[:8]
+
+    t = timed(packed_many, reads_d, rows_d, jnp.zeros(n + 2, jnp.uint32))
+    log(f"# exact engines (device-only, {R} reads x{iters}): packed "
+        f"{R * W * iters / t / 1e6:.1f} M kmers/s", )
+
+    eng = SortJoinEngine(dic.kmers_in_order)
+    flat = reads.reshape(-1)
+
+    @jax.jit
+    def sj_many(chi, clo, valid, depth):
+        qhi = jnp.where(valid, chi, jnp.uint32(0))
+        qlo = jnp.where(valid, clo, jnp.uint32(0))
+
+        def body(i, depth):
+            return sortjoin_count_batch(eng.dhi, eng.dlo, qhi, qlo, depth,
+                                        n_dict=eng.n)
+        return jax.lax.fori_loop(0, iters, body, depth)[:8]
+
+    chi_d, clo_d, valid_d = jax.jit(
+        lambda c: codec.sliding_kmers(c, K))(jnp.asarray(flat))
+    t = timed(sj_many, chi_d, clo_d, valid_d,
+              jnp.zeros(eng.n + 1, jnp.uint32))
+    nq = int(chi_d.shape[0])
+    log(f"# exact engines: sortjoin {nq * iters / t / 1e6:.1f} M kmers/s "
+        f"(dict {eng.n} lanes amortized over {nq} queries/batch)")
 
 
 if __name__ == "__main__":

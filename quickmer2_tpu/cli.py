@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--data-devices", type=int, default=None,
                    help="shard the count over N local devices "
                         "(bit-identical output)")
+    c.add_argument("--dict-devices", type=int, default=None,
+                   help="bucket-block-shard the dictionary over N local "
+                        "devices (tables larger than one HBM; "
+                        "bit-identical output)")
     c.add_argument("--checkpoint", type=str, default=None, metavar="PATH",
                    help="periodic resume checkpoint; rerun with the same "
                         "flags to resume (works for stdin too: the "
@@ -131,6 +135,7 @@ def main(argv=None) -> int:
             batch_bases=args.batch_bases, mode=args.mode,
             ref_fasta=args.fasta if args.mode == "anchored" else None,
             read_len=args.read_len, data_devices=args.data_devices,
+            dict_devices=args.dict_devices,
             checkpoint_path=args.checkpoint,
             checkpoint_every_bytes=args.checkpoint_every,
             verbose=not args.json)

@@ -385,11 +385,12 @@ class StreamCounter:
             # the row width can be autodetected from real reads
             if read_len is not None:
                 self._make_anchored(read_len)
-        elif data_devices and data_devices > 1:
+        elif (data_devices and data_devices > 1) or \
+                (dict_devices and dict_devices > 1):
             from quickmer2_tpu.parallel.count_parallel import ShardedDepthCounter
             from quickmer2_tpu.parallel.mesh import make_mesh
             self.counter = ShardedDepthCounter(
-                dictionary, make_mesh(data_devices, 1),
+                dictionary, make_mesh(data_devices or 1, dict_devices or 1),
                 batch_bases=batch_bases)
         else:
             self.counter = DepthCounter(dictionary, batch_bases=batch_bases,
@@ -522,6 +523,7 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
               checkpoint_path: str | None = None,
               checkpoint_every_bytes: int = 1 << 30,
               data_devices: int | None = None,
+              dict_devices: int | None = None,
               hbm_limit_bytes: int | None = None) -> dict:
     """Full count phase: .qm + reads → <out_prefix>.bin (+ .txt if the
     dictionary's .qgc companion exists). Returns summary stats.
@@ -579,7 +581,7 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
                 dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
     sc = StreamCounter(dictionary, mode=mode, index=index,
                        batch_bases=batch_bases, read_len=read_len,
-                       data_devices=data_devices)
+                       data_devices=data_devices, dict_devices=dict_devices)
     setup_s = time.time() - t0
     import sys
     stream = sys.stdin.buffer if sample_path == "-" else open(sample_path, "rb")

@@ -146,3 +146,35 @@ def test_run_count_data_devices(tmp_path, anchored_setup, mode):
     run_count(fa + ".qm", fq, d + "/four", data_devices=4, **kw)
     np.testing.assert_array_equal(formats.read_u16(d + "/four.bin"),
                                   formats.read_u16(d + "/one.bin"))
+
+
+@pytest.mark.parametrize("mode", ["flat", "anchored"])
+def test_run_count_dict_devices(tmp_path, mode):
+    """run_count(dict_devices=4): dictionary bucket-block sharding
+    through the file pipeline, bit-identical to single-device."""
+    from quickmer2_tpu.io import formats
+    from quickmer2_tpu.pipelines.count import run_count
+
+    rng = np.random.default_rng(17)
+    d = str(tmp_path)
+    chrom = helpers.random_genome(rng, 20000)
+    fa = d + "/g.fa"
+    helpers.write_fasta(fa, {"c1": chrom})
+    search_pipe.run_search(
+        fa, SearchConfig(kmer_size=K, hash_size=1 << 16, edit_distance=0,
+                         window_size=100), verbose=False)
+    reads = helpers.mutate_reads(
+        rng, helpers.simulate_reads(rng, chrom, 1200, 100), 0.005)
+    fq = d + "/reads.fq"
+    helpers.write_fastq(fq, reads)
+
+    kw = dict(verbose=False, mode=mode,
+              ref_fasta=fa if mode == "anchored" else None)
+    run_count(fa + ".qm", fq, d + "/one", **kw)
+    run_count(fa + ".qm", fq, d + "/dict4", dict_devices=4, **kw)
+    run_count(fa + ".qm", fq, d + "/both", data_devices=2, dict_devices=2,
+              **kw)
+    np.testing.assert_array_equal(formats.read_u16(d + "/dict4.bin"),
+                                  formats.read_u16(d + "/one.bin"))
+    np.testing.assert_array_equal(formats.read_u16(d + "/both.bin"),
+                                  formats.read_u16(d + "/one.bin"))

@@ -57,6 +57,9 @@ def write_fastq_codes(path, reads):
 
 
 def main():
+    if os.environ.get("QM2_BENCH_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["QM2_BENCH_PLATFORM"])
     from quickmer2_tpu.config import SearchConfig
     from quickmer2_tpu.io import formats
     from quickmer2_tpu.pipelines import search as search_pipe
