@@ -200,7 +200,10 @@ def main():
         depth, wall, host_s, sc = run_measured(dic, index, fastq, 160)
         st = sc.stats
         rate = n_windows / wall
-        packed_mb = (st["n_reads"] * (160 // 4 + 160 // 8)) / 1e6
+        # lens-format rows: L/4 code bytes + u16 length (ops/rowpack.py),
+        # plus spill/tier-2 rebatches that cross the link a second time
+        resend = (st["n_spilled"] + st["n_spilled2"]) / st["n_reads"]
+        packed_mb = (st["n_reads"] * (160 // 4 + 2)) * (1 + resend) / 1e6
         h2d_s = packed_mb / h2d
         log(f"# err {err * 100:.1f}%/bp: {n_windows / 1e6:.0f}M windows in "
             f"{wall:.2f}s = {rate / 1e6:.1f} M kmers/s MEASURED end-to-end "
@@ -271,8 +274,11 @@ def exact_diag(jax, jnp, dic, index, genome):
     log(f"# exact engines (device-only, {R} reads x{iters}): packed "
         f"{R * W * iters / t / 1e6:.1f} M kmers/s", )
 
+    # sortjoin joins the FULL dictionary into every batch sort, so size
+    # the diagnostic at a bounded query count (the 20M-lane variant
+    # compiles/runs pathologically slowly on the tunnel backend)
     eng = SortJoinEngine(dic.kmers_in_order)
-    flat = reads.reshape(-1)
+    flat = reads[: 1 << 14].reshape(-1)
 
     @jax.jit
     def sj_many(chi, clo, valid, depth):

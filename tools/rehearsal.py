@@ -57,9 +57,12 @@ def write_fastq_codes(path, reads):
 
 
 def main():
-    if os.environ.get("QM2_BENCH_PLATFORM"):
+    # the axon TPU plugin force-sets JAX_PLATFORMS in the env, so honor
+    # an explicit platform request through jax.config (authoritative)
+    plat = os.environ.get("QM2_BENCH_PLATFORM")
+    if plat:
         import jax
-        jax.config.update("jax_platforms", os.environ["QM2_BENCH_PLATFORM"])
+        jax.config.update("jax_platforms", plat)
     from quickmer2_tpu.config import SearchConfig
     from quickmer2_tpu.io import formats
     from quickmer2_tpu.pipelines import search as search_pipe
@@ -84,12 +87,27 @@ def main():
     out["genome_bases"] = len(g)
     out["gen_s"] = round(time.time() - t0, 1)
 
-    # control bed: everything except the duplicated segment (+margin),
-    # terminated off-chromosome (stuck-last-row quirk)
+    # the planted CNV: extra reads over a unique segment (the dup's own
+    # k-mers are non-unique and excluded from the dictionary, so CN
+    # signal must come from a copy-neutral-in-reference region)
+    seg_start = 4 * len(g) // 5
+    seg_len = min(100_000, len(g) // 40)
+
+    # control bed: everything except the duplicated segment AND the
+    # CNV segment (+margin) — control regions define the depth-vs-GC
+    # curve, so a CNV inside them would pollute its own GC bins and
+    # bias the correction (the same contract the reference tutorial's
+    # curated control bed satisfies). Terminated off-chromosome
+    # (stuck-last-row quirk).
     ctrl = os.path.join(d, "ctrl.bed")
+    excl = sorted([(dup_start - 500, dup_start + dup_len + 500),
+                   (seg_start - 500, seg_start + seg_len + 500)])
     with open(ctrl, "w") as f:
-        f.write(f"chr1\t0\t{dup_start - 500}\n")
-        f.write(f"chr1\t{dup_start + dup_len + 500}\t{len(g)}\n")
+        prev = 0
+        for a, b in excl:
+            f.write(f"chr1\t{prev}\t{a}\n")
+            prev = b
+        f.write(f"chr1\t{prev}\t{len(g)}\n")
         f.write("chrZ\t0\t100\n")
 
     t1 = time.time()
@@ -105,13 +123,6 @@ def main():
 
     n_reads = int(coverage * len(g) / read_len)
     reads = simulate_reads_codes(rng, g, n_reads, read_len, err)
-    # extra coverage over ONE dup copy ⇒ its k-mers (present once in
-    # the reference after dedup... they are non-unique and excluded).
-    # CN signal instead comes from the planted extra copies sharing the
-    # dup's flanking-unique k-mers? No — planted copies make dup k-mers
-    # non-unique, so we plant CNV by EXTRA READS over a unique segment:
-    seg_start = 4 * len(g) // 5
-    seg_len = min(100_000, len(g) // 40)
     seg = g[seg_start:seg_start + seg_len]
     extra = simulate_reads_codes(
         rng, seg, int(2 * coverage * len(seg) / read_len), read_len, err)
