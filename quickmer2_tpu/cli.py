@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bit-exact emulation of the reference's mod-32 "
                         "edit filter (SURVEY.md Q2)")
     s.add_argument("--out-prefix", type=str, default=None)
+    s.add_argument("--json", action="store_true",
+                   help="print structured per-phase stats as one JSON line")
     s.add_argument("fasta")
 
     c = sub.add_parser("count", help="count k-mer depth from sample reads")
@@ -89,6 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     e = sub.add_parser("est", help="GC-corrected copy-number estimation")
     e.add_argument("--plot", action="store_true", help="write QC png")
+    e.add_argument("--json", action="store_true",
+                   help="print structured per-phase stats as one JSON line")
     e.add_argument("fasta", help="reference FASTA path (for .qgc/.bed)")
     e.add_argument("sample_prefix")
     e.add_argument("out_bed")
@@ -118,13 +122,18 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.cmd == "search":
+        import json
         from quickmer2_tpu.pipelines.search import run_search
         cfg = SearchConfig(kmer_size=args.k, threads=args.t,
                            hash_size=parse_size_suffix(args.s),
                            edit_distance=args.e, edit_depth_threshold=args.d,
                            window_size=args.w, control_bed=args.c,
                            quirk_mod32_editdist=args.quirk_editdist)
-        run_search(args.fasta, cfg, out_prefix=args.out_prefix)
+        stats = {}
+        run_search(args.fasta, cfg, out_prefix=args.out_prefix,
+                   verbose=not args.json, stats=stats)
+        if args.json:
+            print(json.dumps(stats))
 
     elif args.cmd == "count":
         import json
@@ -163,8 +172,13 @@ def main(argv=None) -> int:
             print(json.dumps(stats))
 
     elif args.cmd == "est":
+        import json
         from quickmer2_tpu.pipelines.est import run_est
-        res = run_est(args.fasta, args.sample_prefix, args.out_bed)
+        res = run_est(args.fasta, args.sample_prefix, args.out_bed,
+                      verbose=not args.json)
+        if args.json:
+            print(json.dumps({k: v for k, v in res.items()
+                              if k != "factors"}))
         if args.plot:
             from quickmer2_tpu.analytics import plots
             if plots.available():

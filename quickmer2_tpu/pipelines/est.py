@@ -56,6 +56,8 @@ def run_est(ref_prefix: str, sample_prefix: str, out_bed: str,
     """ref_prefix: path prefix of the dictionary companions (<p>.qgc,
     <p>.bed — the reference passes the FASTA path); sample_prefix: count
     outputs (<p>.bin, <p>.txt)."""
+    import time
+    t0 = time.time()
     cfg = cfg or EstConfig()
     qgc = formats.read_u16(ref_prefix + ".qgc")
     depth = formats.read_u16(sample_prefix + ".bin")
@@ -73,9 +75,13 @@ def run_est(ref_prefix: str, sample_prefix: str, out_bed: str,
     if verbose:
         print("Mean sequencing depth: %.2f" % mean_depth)
 
+    load_s = time.time() - t0
+    t1 = time.time()
     factors, _ = gc_correct.factors_from_txt(
         txt_path, frac=cfg.lowess_frac, fit_lo=cfg.gc_fit_lo,
         fit_hi=cfg.gc_fit_hi, clip_lo=cfg.corr_clip_lo, clip_hi=cfg.corr_clip_hi)
+    fit_s = time.time() - t1
+    t2 = time.time()
 
     # emitted windows: kmer_end < n (final window dropped when no
     # trailing k-mers exist — QuicKmer.c:664-674)
@@ -101,4 +107,8 @@ def run_est(ref_prefix: str, sample_prefix: str, out_bed: str,
             rows.append((chrom, int(b), int(e), cn))
     formats.write_cn_bed(out_bed, rows)
     return {"mean_depth": mean_depth, "n_windows": len(rows),
+            "n_kmers": int(n),
+            "phases": {"load_s": round(load_s, 4),
+                       "fit_s": round(fit_s, 4),
+                       "window_s": round(time.time() - t2, 4)},
             "factors": factors}

@@ -84,10 +84,16 @@ def _final_hash_size(h0: int, distinct: int) -> int:
 
 def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None,
                use_device_filter: bool = True, filter_batch: int = 4096,
-               filter_impl: str = "hamming", verbose: bool = True) -> Dictionary:
+               filter_impl: str = "hamming", verbose: bool = True,
+               stats: dict | None = None) -> Dictionary:
     """Full search phase. Writes <out>.qm, <out>.bed and, when a control
     bed is configured, <out>.qgc (out defaults to the FASTA path, like
-    the reference which names outputs ref.fa.qm etc.)."""
+    the reference which names outputs ref.fa.qm etc.).
+
+    stats: optional dict the run fills with structured per-phase metrics
+    (tabulate/filter/emit wall seconds, k-mer counts)."""
+    import time
+    t0 = time.time()
     out_prefix = out_prefix or fasta_path
     k = cfg.kmer_size
     chroms = list(fasta_io.iter_fasta(fasta_path))
@@ -109,9 +115,12 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
         slots = qhash.probe_insert_np(table, uniq, hash_size)
     occr = np.zeros(hash_size, dtype=np.uint8)
     occr[slots] = occr_vals
+    tabulate_s = time.time() - t0
+    t1 = time.time()
 
     # -- stage 2: edit-distance filter --------------------------------
     keep_uniq = occr_vals == 1
+    n_removed = 0
     if cfg.edit_distance > 0:
         unique_kmers = uniq[keep_uniq]
         if cfg.quirk_mod32_editdist:
@@ -136,9 +145,12 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
         kill = np.zeros(len(uniq), dtype=bool)
         kill[np.flatnonzero(keep_uniq)[~survive]] = True
         keep_uniq = keep_uniq & ~kill
+        n_removed = int((~survive).sum())
         if verbose:
-            print(f"search: edit filter removed {int((~survive).sum())} "
+            print(f"search: edit filter removed {n_removed} "
                   f"of {len(unique_kmers)} unique k-mers")
+    filter_s = time.time() - t1
+    t2 = time.time()
 
     keep_flag = np.zeros(hash_size, dtype=bool)
     keep_flag[np.asarray(slots)[keep_uniq]] = True
@@ -166,6 +178,14 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
         cfg.edit_depth_threshold)
     dictionary.to_qm(out_prefix + ".qm")
     emitter.write(out_prefix)
+    if stats is not None:
+        stats.update({
+            "n_positions": int(n_positions), "n_distinct": int(len(uniq)),
+            "n_filtered": n_removed, "n_kmers": dictionary.n_kmers,
+            "hash_size": hash_size,
+            "phases": {"tabulate_s": round(tabulate_s, 4),
+                       "filter_s": round(filter_s, 4),
+                       "emit_s": round(time.time() - t2, 4)}})
     return dictionary
 
 
