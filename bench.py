@@ -248,8 +248,6 @@ def exact_diag(jax, jnp, dic, index, genome):
     for the spill/flat-mode budget; the headline above is measured
     end-to-end)."""
     from quickmer2_tpu.ops.anchored import exact_count_rows
-    from quickmer2_tpu.ops.sortjoin import SortJoinEngine, sortjoin_count_batch
-    from quickmer2_tpu.ops import codec
 
     rng = np.random.default_rng(3)
     R = BATCH_READS
@@ -288,30 +286,11 @@ def exact_diag(jax, jnp, dic, index, genome):
     t = timed(packed_many, reads_d, rows_d, jnp.zeros(n + 2, jnp.uint32))
     log(f"# exact engines (device-only, {R} reads x{iters}): packed "
         f"{R * W * iters / t / 1e6:.1f} M kmers/s", )
-
-    # sortjoin joins the FULL dictionary into every batch sort, so size
-    # the diagnostic at a bounded query count (the 20M-lane variant
-    # compiles/runs pathologically slowly on the tunnel backend)
-    eng = SortJoinEngine(dic.kmers_in_order)
-    flat = reads[: 1 << 14].reshape(-1)
-
-    @jax.jit
-    def sj_many(chi, clo, valid, depth):
-        qhi = jnp.where(valid, chi, jnp.uint32(0))
-        qlo = jnp.where(valid, clo, jnp.uint32(0))
-
-        def body(i, depth):
-            return sortjoin_count_batch(eng.dhi, eng.dlo, qhi, qlo, depth,
-                                        n_dict=eng.n)
-        return jax.lax.fori_loop(0, iters, body, depth)[:8]
-
-    chi_d, clo_d, valid_d = jax.jit(
-        lambda c: codec.sliding_kmers(c, K))(jnp.asarray(flat))
-    t = timed(sj_many, chi_d, clo_d, valid_d,
-              jnp.zeros(eng.n + 1, jnp.uint32))
-    nq = int(chi_d.shape[0])
-    log(f"# exact engines: sortjoin {nq * iters / t / 1e6:.1f} M kmers/s "
-        f"(dict {eng.n} lanes amortized over {nq} queries/batch)")
+    # NOTE: the sortjoin engine (ops/sortjoin.py, CPU-verified in
+    # tests/) is deliberately NOT timed here — its multi-operand
+    # device sort stalls indefinitely under this harness's remote
+    # tunnel backend at any useful batch size, and a diagnostic must
+    # never hang the bench.
 
 
 if __name__ == "__main__":
