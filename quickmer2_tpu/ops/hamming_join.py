@@ -79,60 +79,127 @@ def _part_masks(k: int):
     return masks
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("e", "cpad", "mask_hi0", "mask_lo0",
-                                    "mask_hi1", "mask_lo1", "mask_hi2",
-                                    "mask_lo2"))
-def _slab_join(qh, ql, dh, dl, docc, dvalid, qvalid, *,
-               e: int, cpad: int, mask_hi0, mask_lo0, mask_hi1, mask_lo1,
-               mask_hi2, mask_lo2):
-    """One slab of bucket blocks: qh/ql (Bs, qpad), dh/dl/docc/dvalid
-    (Bs, cpad), qvalid (Bs, qpad). Returns scaled sums (Bs, qpad) u32:
-    Σ occ·(6/m) over pairs with 1 ≤ H ≤ e."""
-    xh = qh[:, :, None] ^ dh[:, None, :]
-    xl = ql[:, :, None] ^ dl[:, None, :]
-    # per-base differ bits: fold each 2-bit symbol to its low lane
-    yh = (xh | (xh >> 1)) & jnp.uint32(0x55555555)
-    yl = (xl | (xl >> 1)) & jnp.uint32(0x55555555)
-    ham = (jax.lax.population_count(yh)
-           + jax.lax.population_count(yl)).astype(jnp.uint32)
-    m = jnp.zeros(xh.shape, jnp.uint32)
-    for mh, ml in ((mask_hi0, mask_lo0), (mask_hi1, mask_lo1),
-                   (mask_hi2, mask_lo2)):
-        exact = ((xh & jnp.uint32(mh)) | (xl & jnp.uint32(ml))) == 0
-        m = m + exact.astype(jnp.uint32)
-    ok = (ham >= 1) & (ham <= jnp.uint32(e)) \
-        & qvalid[:, :, None] & dvalid[:, None, :]
-    scale = jnp.where(m > 0, jnp.uint32(6) // jnp.maximum(m, 1),
-                      jnp.uint32(0))
-    contrib = jnp.where(ok, docc[:, None, :] * scale, jnp.uint32(0))
-    return contrib.sum(axis=2, dtype=jnp.uint32)
+def _part_key_device(hi, lo, *, lo_bit: int, width: int):
+    """Bits [lo_bit, lo_bit+width) of the (hi,lo) u32-pair code as u32
+    (static shifts — lo_bit/width are trace-time Python ints)."""
+    if lo_bit >= 32:
+        v = hi >> jnp.uint32(lo_bit - 32)
+    elif lo_bit + width <= 32:
+        v = lo >> jnp.uint32(lo_bit)
+    else:
+        v = (lo >> jnp.uint32(lo_bit)) | (hi << jnp.uint32(32 - lo_bit))
+    return v & jnp.uint32((1 << width) - 1)
 
 
-def _bucketize(keys: np.ndarray, order: np.ndarray, n_buckets: int,
-               pad: int):
-    """(flat slot index into a (n_buckets*pad,) layout, in-bucket slot)
-    for entries taken in sorted `order`. Entries beyond `pad` get the
-    trash slot n_buckets*pad."""
+@functools.partial(
+    jax.jit, donate_argnums=(7,),
+    static_argnames=("B", "cpad", "cpad_q", "slab", "e", "lo_bit", "width",
+                     "mask_hi0", "mask_lo0", "mask_hi1", "mask_lo1",
+                     "mask_hi2", "mask_lo2"))
+def _part_chunk_join(whi, wlo, wocc, wslot, qhi, qlo, qslot, scaled, *,
+                     B: int, cpad: int, cpad_q: int, slab: int, e: int,
+                     lo_bit: int, width: int, mask_hi0, mask_lo0,
+                     mask_hi1, mask_lo1, mask_hi2, mask_lo2):
+    """One (part, DB-chunk) join, fully device-resident: scatter the
+    chunk's words and the queries into padded bucket layouts (keys
+    recomputed on device from the codes; only 1-byte in-bucket slots
+    cross the link), then fori_loop over bucket slabs comparing every
+    query lane against its bucket's word lanes with XOR+popcount.
+    Accumulates occ·(6/m) into `scaled` (u32[nQ+1], donated; lane nQ is
+    the trash bin). Word lanes left empty carry occ 0 and contribute
+    nothing; ham >= 1 excludes self-pairs."""
+    nQ = qhi.shape[0]
+    hole_d = B * cpad
+    hole_q = B * cpad_q
+    keyw = _part_key_device(whi, wlo, lo_bit=lo_bit, width=width).astype(jnp.int32)
+    keyq = _part_key_device(qhi, qlo, lo_bit=lo_bit, width=width).astype(jnp.int32)
+    wf = jnp.where(wslot < cpad, keyw * cpad + wslot.astype(jnp.int32), hole_d)
+    qf = jnp.where(qslot < cpad_q, keyq * cpad_q + qslot.astype(jnp.int32),
+                   hole_q)
+    dh = jnp.zeros(hole_d + 1, jnp.uint32).at[wf].set(
+        whi, mode="promise_in_bounds")
+    dl = jnp.zeros(hole_d + 1, jnp.uint32).at[wf].set(
+        wlo, mode="promise_in_bounds")
+    docc = jnp.zeros(hole_d + 1, jnp.uint32).at[wf].set(
+        wocc.astype(jnp.uint32), mode="promise_in_bounds")
+    docc = docc.at[hole_d].set(0)
+    qh = jnp.zeros(hole_q + 1, jnp.uint32).at[qf].set(
+        qhi, mode="promise_in_bounds")
+    ql = jnp.zeros(hole_q + 1, jnp.uint32).at[qf].set(
+        qlo, mode="promise_in_bounds")
+    qidx = jnp.full(hole_q + 1, nQ, jnp.int32).at[qf].set(
+        jnp.arange(nQ, dtype=jnp.int32), mode="promise_in_bounds")
+    qidx = qidx.at[hole_q].set(nQ)
+
+    def body(s, scaled):
+        od = s * slab * cpad
+        oq = s * slab * cpad_q
+        dhs = jax.lax.dynamic_slice(dh, (od,), (slab * cpad,)).reshape(
+            slab, cpad)
+        dls = jax.lax.dynamic_slice(dl, (od,), (slab * cpad,)).reshape(
+            slab, cpad)
+        dos = jax.lax.dynamic_slice(docc, (od,), (slab * cpad,)).reshape(
+            slab, cpad)
+        qhs = jax.lax.dynamic_slice(qh, (oq,), (slab * cpad_q,)).reshape(
+            slab, cpad_q)
+        qls = jax.lax.dynamic_slice(ql, (oq,), (slab * cpad_q,)).reshape(
+            slab, cpad_q)
+        xh = qhs[:, :, None] ^ dhs[:, None, :]
+        xl = qls[:, :, None] ^ dls[:, None, :]
+        # per-base differ bits: fold each 2-bit symbol to its low lane
+        yh = (xh | (xh >> 1)) & jnp.uint32(0x55555555)
+        yl = (xl | (xl >> 1)) & jnp.uint32(0x55555555)
+        ham = (jax.lax.population_count(yh)
+               + jax.lax.population_count(yl)).astype(jnp.uint32)
+        m = jnp.zeros(xh.shape, jnp.uint32)
+        for mh, ml in ((mask_hi0, mask_lo0), (mask_hi1, mask_lo1),
+                       (mask_hi2, mask_lo2)):
+            exact = ((xh & jnp.uint32(mh)) | (xl & jnp.uint32(ml))) == 0
+            m = m + exact.astype(jnp.uint32)
+        ok = (ham >= 1) & (ham <= jnp.uint32(e))
+        scale = jnp.where(m > 0, jnp.uint32(6) // jnp.maximum(m, 1),
+                          jnp.uint32(0))
+        contrib = jnp.where(ok, dos[:, None, :] * scale, jnp.uint32(0))
+        out = contrib.sum(axis=2, dtype=jnp.uint32).reshape(-1)
+        qix = jax.lax.dynamic_slice(qidx, (oq,), (slab * cpad_q,))
+        return scaled.at[qix].add(out, mode="promise_in_bounds")
+
+    return jax.lax.fori_loop(0, B // slab, body, scaled)
+
+
+def _slots_u8(keys: np.ndarray) -> np.ndarray:
+    """Per-entry in-bucket slot (rank among equal keys), in ORIGINAL
+    entry order, saturated to u8 — the only per-part array that crosses
+    the link (the device recomputes bucket keys from the codes)."""
+    order = np.argsort(keys, kind="stable")
     ks = keys[order]
-    # in-bucket slot = position among equal keys (ks is sorted)
     first = np.ones(len(ks), bool)
     first[1:] = ks[1:] != ks[:-1]
     start = np.maximum.accumulate(np.where(first, np.arange(len(ks)), 0))
-    slot = np.arange(len(ks)) - start
-    flat = np.where(slot < pad, ks.astype(np.int64) * pad + slot,
-                    n_buckets * pad)
-    return flat, slot
+    slot_sorted = np.arange(len(ks)) - start
+    slot = np.empty(len(ks), np.int64)
+    slot[order] = slot_sorted
+    return np.minimum(slot, 255).astype(np.uint8)
 
 
 def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
                           occ: np.ndarray, k: int, e: int,
-                          cpad: int = 64, slab_buckets: int | None = None,
+                          cpad: int = 64, cpad_q: int = 32,
+                          chunk_w: int = 12_000_000,
+                          slab_buckets: int | None = None,
                           packed_rows=None, n_buckets_packed: int = 0,
                           batch_slow: int = 4096) -> np.ndarray:
     """Neighbor-occurrence sums for `unique_kmers` (queries) against the
     distinct-genome-k-mer multiset (`uniq` canonical u64, `occ` u8/u32
     saturated counts). Exact: identical to brute-force enumeration.
+
+    Execution is device-resident: the word/query codes cross the link
+    once, per-(part, chunk) only 1-byte in-bucket slot arrays follow,
+    and the slab loop runs inside one jit (the earlier host-orchestrated
+    slab loop re-uploaded every bucket block — ~5.6 GB of transfers for
+    an 8 Mb genome). The DB is processed in chunks of `chunk_w` words so
+    per-bucket loads stay under `cpad` at any genome size (a pair is
+    found in exactly the chunk holding its word, so chunk sums add).
 
     packed_rows / n_buckets_packed: the packed table over `uniq` with
     occ in the pos payload, used for slow-path queries (overflowed
@@ -142,6 +209,7 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
     from quickmer2_tpu.ops.packed_table import PackedTable
 
     assert 1 <= e <= 2
+    assert cpad <= 255 and cpad_q <= 255   # in-bucket slots travel as u8
     n = len(unique_kmers)
     if n == 0:
         return np.zeros(0, np.uint32)
@@ -164,64 +232,47 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
     part_keys_q = [_extract_part_np(qhi, qlo, s, t) for (s, t) in ranges]
     n_bkts = [1 << (2 * (t - s)) for (s, t) in ranges]
 
-    # slow-path mask: any part bucket of the QUERY overflows cpad
+    chunks = [slice(c0, min(c0 + chunk_w, len(w)))
+              for c0 in range(0, max(len(w), 1), chunk_w)]
+
+    # slow-path routing: a query is slow when any part's word bucket in
+    # any chunk overflows cpad (its pairs there would be dropped), or
+    # its query bucket would overflow cpad_q (conservative: the
+    # histogram counts all queries, a superset of the fast set, so fast
+    # in-bucket slots never truncate)
     slow = np.zeros(n, bool)
-    hists = []
     for i in range(3):
-        hist = np.bincount(part_keys_w[i], minlength=n_bkts[i])
-        hists.append(hist)
-        slow |= hist[part_keys_q[i]] > cpad
+        hq = np.bincount(part_keys_q[i], minlength=n_bkts[i])
+        slow |= hq[part_keys_q[i]] > cpad_q
+        for c in chunks:
+            hw = np.bincount(part_keys_w[i][c], minlength=n_bkts[i])
+            slow |= hw[part_keys_q[i]] > cpad
     fast_idx = np.flatnonzero(~slow)
     sums = np.zeros(n, np.uint64)
 
     if len(fast_idx):
-        scaled = np.zeros(len(fast_idx) + 1, np.uint64)  # +1 trash
-        fq_hi, fq_lo = qhi[fast_idx], qlo[fast_idx]
-        for i in range(3):
+        whi_d = jnp.asarray(whi)
+        wlo_d = jnp.asarray(wlo)
+        wocc_d = jnp.asarray(w_occ.astype(np.uint8))
+        fqh_d = jnp.asarray(qhi[fast_idx])
+        fql_d = jnp.asarray(qlo[fast_idx])
+        scaled_d = jnp.zeros(len(fast_idx) + 1, jnp.uint32)
+        for i, (s, t) in enumerate(ranges):
             B = n_bkts[i]
-            order_w = np.argsort(part_keys_w[i], kind="stable")
-            wflat, _ = _bucketize(part_keys_w[i], order_w, B, cpad)
-            dh = np.zeros(B * cpad + 1, np.uint32)
-            dl = np.zeros(B * cpad + 1, np.uint32)
-            docc = np.zeros(B * cpad + 1, np.uint32)
-            dvalid = np.zeros(B * cpad + 1, bool)
-            dh[wflat] = whi[order_w]
-            dl[wflat] = wlo[order_w]
-            docc[wflat] = w_occ[order_w]
-            dvalid[wflat] = True
-            dvalid[-1] = False
-
-            kq = part_keys_q[i][fast_idx]
-            order_q = np.argsort(kq, kind="stable")
-            qflat, _ = _bucketize(kq, order_q, B, cpad)
-            qh = np.zeros(B * cpad + 1, np.uint32)
-            ql = np.zeros(B * cpad + 1, np.uint32)
-            qidx = np.full(B * cpad + 1, len(fast_idx), np.int64)
-            qvalid = np.zeros(B * cpad + 1, bool)
-            qh[qflat] = fq_hi[order_q]
-            ql[qflat] = fq_lo[order_q]
-            qidx[qflat] = order_q
-            qvalid[qflat] = True
-            qvalid[-1] = False
-            qidx[-1] = len(fast_idx)  # trash bin of `scaled`
-
-            slab = slab_buckets or max(1, (1 << 24) // (cpad * cpad))
-            for b0 in range(0, B, slab):
-                b1 = min(b0 + slab, B)
-                sl = slice(b0 * cpad, b1 * cpad)
-                if not dvalid[sl].any() or not qvalid[sl].any():
-                    continue
-                shape = (b1 - b0, cpad)
-                out = _slab_join(
-                    jnp.asarray(qh[sl].reshape(shape)),
-                    jnp.asarray(ql[sl].reshape(shape)),
-                    jnp.asarray(dh[sl].reshape(shape)),
-                    jnp.asarray(dl[sl].reshape(shape)),
-                    jnp.asarray(docc[sl].reshape(shape)),
-                    jnp.asarray(dvalid[sl].reshape(shape)),
-                    jnp.asarray(qvalid[sl].reshape(shape)),
-                    e=e, cpad=cpad, **mask_kw)
-                np.add.at(scaled, qidx[sl], np.asarray(out).reshape(-1))
+            cq = min(cpad_q, cpad)
+            slab = slab_buckets or max(1, min(B, (1 << 22) // (cpad * cq)))
+            while B % slab:
+                slab >>= 1
+            qslot = _slots_u8(part_keys_q[i][fast_idx])
+            qslot_d = jnp.asarray(qslot)
+            for c in chunks:
+                wslot = _slots_u8(part_keys_w[i][c])
+                scaled_d = _part_chunk_join(
+                    whi_d[c], wlo_d[c], wocc_d[c], jnp.asarray(wslot),
+                    fqh_d, fql_d, qslot_d, scaled_d,
+                    B=B, cpad=cpad, cpad_q=cq, slab=slab, e=e,
+                    lo_bit=2 * s, width=2 * (t - s), **mask_kw)
+        scaled = np.asarray(jax.device_get(scaled_d)).astype(np.uint64)
         part_sums, rem = divmod(scaled[:-1], 6)
         assert not rem.any(), "hamming join scale invariant violated"
         sums[fast_idx] = part_sums
