@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--mode", choices=["flat", "anchored"], default="flat")
     co.add_argument("--read-len", type=int, default=None)
     co.add_argument("--data-devices", type=int, default=None)
+    co.add_argument("--dict-devices", type=int, default=None,
+                    help="bucket-block-shard the dictionary over N local "
+                         "devices (bit-identical output)")
     co.add_argument("--json", action="store_true")
     co.add_argument("fasta", help="reference FASTA path or .qm path")
     co.add_argument("pairs", nargs="+",
@@ -167,6 +170,7 @@ def main(argv=None) -> int:
                            else None,
                            read_len=args.read_len,
                            data_devices=args.data_devices,
+                           dict_devices=args.dict_devices,
                            verbose=not args.json)
         if args.json:
             print(json.dumps(stats))

@@ -113,25 +113,29 @@ class AnchoredIndex:
                    has_neighbor_bits=has_neighbor_bits)
 
     @staticmethod
-    def estimate_hbm_bytes(n_kmers: int, genome_len: int) -> dict:
+    def estimate_hbm_bytes(n_kmers: int, genome_len: int,
+                           dict_devices: int = 1) -> dict:
         """Per-device HBM budget of the anchored structures BEFORE
         building them (pipelines.count uses this to fall back to the
         flat dict-shardable path when they cannot fit — reference
         scale: a GRCh38 2³²-slot dictionary is ~49 GB on disk,
         tutorial.md:90-91, and the packed rows dominate here).
 
-        rows   = n_buckets * 32 B  (two-choice buckets at load 0.5)
-        tiles  = G bytes           (u8 code+flag per base)
-        dblock = G/DBLK * 16 B     (prefix-count rows)
+        rows   = n_buckets * 32 B / ds (two-choice buckets at load 0.5;
+                 the dominant term splits over the "dict" mesh axis as
+                 contiguous bucket blocks — parallel.anchored_parallel)
+        tiles  = G bytes           (u8 code+flag per base, replicated)
+        dblock = G/DBLK * 16 B     (prefix-count rows, replicated)
         """
         from quickmer2_tpu.ops.packed_table import ENTRIES_PER_BUCKET
+        ds = max(int(dict_devices), 1)
         n_buckets = 1 << max(1, int(np.ceil(np.log2(
             max(n_kmers, 1) / (ENTRIES_PER_BUCKET * 0.5)))))
-        rows = n_buckets * 4 * ENTRIES_PER_BUCKET * 4
+        rows = n_buckets * 4 * ENTRIES_PER_BUCKET * 4 // ds
         tiles = -(-genome_len // GBLK) * GBLK
         dblock = -(-genome_len // DBLK) * 16
         return {"rows": rows, "tiles": tiles, "dblock": dblock,
-                "total": rows + tiles + dblock}
+                "dict_devices": ds, "total": rows + tiles + dblock}
 
     @classmethod
     def load(cls, qai_path: str, dic) -> "AnchoredIndex":
@@ -159,20 +163,26 @@ class AnchoredIndex:
     def from_dictionary_and_fasta(cls, dic, fasta_path: str,
                                   neighbor_bits: bool = True,
                                   cache_path: str | None = None,
+                                  device_build: bool | None = None,
                                   ) -> "AnchoredIndex":
         """Recover genome stream + per-rank positions by scanning the
         reference FASTA against an (imported or built) Dictionary. With
         cache_path, an existing matching .qai is loaded instead (zero
-        FASTA scanning) and a fresh build is persisted there."""
+        FASTA scanning) and a fresh build is persisted there.
+        device_build: None = use the device bitmap builder when an
+        accelerator backend is present (host numpy otherwise)."""
         import os
         if cache_path and os.path.exists(cache_path):
             try:
                 return cls.load(cache_path, dic)
             except ValueError:
                 pass  # stale artifact — rebuild and overwrite below
+        if device_build is None:
+            device_build = jax.default_backend() not in ("cpu",)
         stream, dict_pos = _genome_stream_and_positions(dic, fasta_path)
         return cls.build(stream, dict_pos, dic.kmers_in_order, dic.kmer_size,
-                         neighbor_bits=neighbor_bits, cache_path=cache_path)
+                         neighbor_bits=neighbor_bits, cache_path=cache_path,
+                         device_build=device_build)
 
 
 def _genome_stream_and_positions(dic, fasta_path: str):
@@ -350,29 +360,36 @@ def _set2(hi, lo, sh, val):
 @functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
 def _neighbor_bits_kernel(codes, rows, *, k: int, n_buckets: int):
     """Device neighbor-bitmap build over one genome chunk: for every
-    (window offset i, base b) combination, mutate every valid window,
-    probe the packed table, and OR the hits into per-base bit planes.
-    One fori_loop over the 4k combinations — the mutation is 32-bit
-    field surgery on the strand words, so the whole build is elementwise
-    VPU work plus the probes."""
+    (window offset i, substitution delta d in 1..3) combination, mutate
+    every valid window to base (orig + d) & 3, probe the packed table,
+    and OR the hits into per-base bit planes. One fori_loop over the 3k
+    combinations (the identity "mutation" is never probed — a 25%
+    probe saving over the 4-base sweep, VERDICT r3 Next #4) — the
+    mutation is 32-bit field surgery on the strand words, so the whole
+    build is elementwise VPU work plus the probes."""
     G = codes.shape[0]
     N = G - k + 1
     fhi, flo, rhi, rlo, valid = codec.sliding_fwd_rc(codes, k)
 
     def body(i, acc):
         base_i = jax.lax.dynamic_slice(codes, (i,), (N,))
-        chis, clos = [], []
-        for b in range(4):
-            mfh, mfl = _set2(fhi, flo, 2 * (k - 1) - 2 * i, jnp.uint32(b))
-            mrh, mrl = _set2(rhi, rlo, 2 * i, jnp.uint32((b - 2) & 3))
+        chis, clos, nbs = [], [], []
+        for d in range(1, 4):
+            nb = (base_i + jnp.uint8(d)) & jnp.uint8(3)
+            mfh, mfl = _set2(fhi, flo, 2 * (k - 1) - 2 * i, nb)
+            mrh, mrl = _set2(rhi, rlo, 2 * i, (nb - jnp.uint8(2)) & jnp.uint8(3))
             fwd_less = (mfh < mrh) | ((mfh == mrh) & (mfl <= mrl))
             chis.append(jnp.where(fwd_less, mfh, mrh))
             clos.append(jnp.where(fwd_less, mfl, mrl))
+            nbs.append(nb)
         f, _, _ = probe_packed(rows, jnp.stack(chis).reshape(-1),
                                jnp.stack(clos).reshape(-1), n_buckets,
                                jnp.uint32(0))
-        b_of = jax.lax.broadcasted_iota(jnp.uint8, (4, N), 0)
-        hit = f.reshape(4, N) & valid[None, :] & (base_i[None, :] != b_of)
+        fd = f.reshape(3, N) & valid[None, :]
+        nb3 = jnp.stack(nbs)                       # (3, N) mutated bases
+        hit = jnp.zeros((4, N), bool)
+        for b in range(4):
+            hit = hit.at[b].set(jnp.any(fd & (nb3 == b), axis=0))
         cur = jax.lax.dynamic_slice(acc, (0, i), (4, N))
         return jax.lax.dynamic_update_slice(acc, cur | hit, (0, i))
 
@@ -398,16 +415,24 @@ def build_neighbor_bits_device(genome_codes: np.ndarray, rows,
         return nb
     rows = jnp.asarray(rows)
     step = max(chunk, 4 * k)
+    pending = None                       # (off, take, out_device)
     for off in range(0, max(G - k + 1, 1), step):
         seg = genome_codes[off: off + step + k - 1]
         pad = 0
         if off > 0 and len(seg) < step + k - 1:
             pad = step + k - 1 - len(seg)
             seg = np.pad(seg, (0, pad), constant_values=codec.SEP)
-        out = np.asarray(_neighbor_bits_kernel(
-            jnp.asarray(seg), rows, k=k, n_buckets=n_buckets))
-        take = len(seg) - pad
-        nb[off: off + take] |= out[:take]
+        # dispatch chunk i's kernel BEFORE fetching chunk i-1's result:
+        # the (async) H2D put and kernel dispatch overlap the previous
+        # chunk's device compute and D2H fetch
+        out = _neighbor_bits_kernel(jax.device_put(seg), rows,
+                                    k=k, n_buckets=n_buckets)
+        if pending is not None:
+            poff, ptake, pout = pending
+            nb[poff: poff + ptake] |= np.asarray(pout)[:ptake]
+        pending = (off, len(seg) - pad, out)
+    poff, ptake, pout = pending
+    nb[poff: poff + ptake] |= np.asarray(pout)[:ptake]
     return nb
 
 

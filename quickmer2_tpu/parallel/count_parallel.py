@@ -122,6 +122,7 @@ class ShardedDepthCounter:
         self._carry = np.zeros(0, np.uint8)
         self._pending: list[np.ndarray] = []
         self._pending_len = 0
+        self.total_kmer_windows = 0
 
     def feed_codes(self, chunk: np.ndarray) -> None:
         self._pending.append(chunk)
@@ -136,6 +137,7 @@ class ShardedDepthCounter:
         shards = split_codes_overlap(batch, self.dp, self.k)
         codes = jax.device_put(shards, self._sh_data)
         self.depth = self._step(codes, self.rows, self.depth)
+        self.total_kmer_windows += len(batch) - self.k + 1
         self._carry = batch[-(self.k - 1):].copy()
 
     def finish(self) -> np.ndarray:
@@ -155,7 +157,7 @@ class ShardedDepthCounter:
         residual = np.concatenate([self._carry] + self._pending) \
             if (self._pending_len or len(self._carry)) else np.zeros(0, np.uint8)
         return {"depth": np.asarray(jax.device_get(self.depth)),
-                "residual": residual, "windows": 0}
+                "residual": residual, "windows": self.total_kmer_windows}
 
     def restore(self, snap: dict) -> None:
         depth = np.asarray(snap["depth"], np.uint32)
@@ -170,3 +172,4 @@ class ShardedDepthCounter:
         self._carry = np.zeros(0, np.uint8)
         self._pending = [residual] if len(residual) else []
         self._pending_len = len(residual)
+        self.total_kmer_windows = int(snap.get("windows", 0))

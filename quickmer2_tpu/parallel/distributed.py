@@ -147,7 +147,11 @@ def run_count_distributed(qm_path: str, sample_path: str, out_prefix: str,
                           verbose: bool = True, mode: str = "flat",
                           ref_fasta: str | None = None,
                           read_len: int | None = None,
-                          data_devices: int | None = None) -> dict:
+                          data_devices: int | None = None,
+                          dict_devices: int | None = None,
+                          checkpoint_path: str | None = None,
+                          checkpoint_every_bytes: int = 1 << 30,
+                          chunk_bytes: int = 1 << 24) -> dict:
     """Data-parallel count across jax processes: each process counts its
     record-aligned byte shard through the standard StreamCounter (so
     mode="anchored" runs the fast path per host — each process loads or
@@ -155,7 +159,15 @@ def run_count_distributed(qm_path: str, sample_path: str, out_prefix: str,
     the flat path exactly like single-process runs), the per-host
     partials merge with one chunked all-reduce, and process 0 writes
     the artifacts. data_devices additionally shards each host's stream
-    over its local devices."""
+    over its local devices; dict_devices shards the dictionary rows
+    over a "dict" mesh axis (the >HBM escape, same as run_count).
+
+    checkpoint_path enables PER-PROCESS intra-phase checkpointing (the
+    SURVEY.md section 5.4 75G-of-81G scenario): each process writes
+    <checkpoint_path>.p<process_id> covering its own shard offset +
+    StreamCounter snapshot, so a killed process resumes from its last
+    checkpoint while the others' work is never repeated. Resume is
+    bit-identical to an uninterrupted run (tests/test_distributed.py)."""
     from quickmer2_tpu.dictionary import Dictionary
     from quickmer2_tpu.io import formats
     from quickmer2_tpu.pipelines.count import (
@@ -166,20 +178,53 @@ def run_count_distributed(qm_path: str, sample_path: str, out_prefix: str,
     if mode == "anchored":
         from quickmer2_tpu.ops.anchored import AnchoredIndex
         if ref_fasta is None:
-            ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
+            ref_fasta = _companion(qm_path, "")
         index = AnchoredIndex.from_dictionary_and_fasta(
             dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
     sc = StreamCounter(dictionary, mode=mode, index=index,
                        batch_bases=batch_bases, read_len=read_len,
-                       data_devices=data_devices)
+                       data_devices=data_devices, dict_devices=dict_devices)
     lo, length = byte_shard(sample_path)
     with open(sample_path, "rb") as f:
         is_fastq = f.read(1) == b"@"
-    packer = make_packer(fmt or ("fastq" if is_fastq else "fasta-lines"))
-    for chunk in read_shard(sample_path, lo, length):
+    fmt = fmt or ("fastq" if is_fastq else "fasta-lines")
+    packer = make_packer(fmt)
+
+    my_ckpt = (f"{checkpoint_path}.p{jax.process_index()}"
+               if checkpoint_path else None)
+    consumed = 0          # bytes of THIS shard already counted
+    next_ckpt = checkpoint_every_bytes
+    if my_ckpt:
+        from quickmer2_tpu.utils import checkpoint as ckpt
+        resumed = ckpt.load(my_ckpt)
+        if resumed is not None:
+            consumed, arrays, meta = resumed
+            if meta.get("shard") != [lo, length]:
+                raise ValueError(
+                    f"{my_ckpt}: checkpoint shard {meta.get('shard')} != "
+                    f"current shard {[lo, length]}; resume with the same "
+                    f"process count and sample file")
+            packer.set_state(meta["packer"])
+            sc.restore(arrays, meta["state"])
+            next_ckpt = consumed + checkpoint_every_bytes
+            if verbose:
+                print(f"count[p{jax.process_index()}]: resumed at shard "
+                      f"byte {consumed}")
+    for chunk in read_shard(sample_path, lo + consumed,
+                            max(length - consumed, 0), chunk_bytes):
         sc.feed_codes(packer.feed(chunk))
+        consumed += len(chunk)
+        if my_ckpt and consumed >= next_ckpt:
+            from quickmer2_tpu.utils import checkpoint as ckpt
+            arrays, state_meta = sc.snapshot()
+            ckpt.save(my_ckpt, consumed, arrays,
+                      meta={"fmt": fmt, "packer": packer.get_state(),
+                            "state": state_meta, "shard": [lo, length]})
+            next_ckpt += checkpoint_every_bytes
     local = sc.finish()
     depth = allreduce_depth(local)
+    if my_ckpt and os.path.exists(my_ckpt):
+        os.remove(my_ckpt)
 
     stats = {"n_kmers": dictionary.n_kmers, "process": jax.process_index(),
              "shard": (lo, length), **sc.stats}

@@ -26,7 +26,8 @@ def run_cohort(qm_path: str, samples: list[tuple[str, str]],
                ref_fasta: str | None = None, read_len: int | None = None,
                est_cfg: EstConfig | None = None, cn_suffix: str = ".CN.bed",
                chunk_bytes: int = 1 << 24, verbose: bool = True,
-               data_devices: int | None = None) -> list[dict]:
+               data_devices: int | None = None,
+               dict_devices: int | None = None) -> list[dict]:
     """samples: list of (sample_path, out_prefix). Returns per-sample
     stats. Writes <out>.bin/.txt and <out><cn_suffix> per sample.
 
@@ -41,10 +42,11 @@ def run_cohort(qm_path: str, samples: list[tuple[str, str]],
     if mode == "anchored":
         from quickmer2_tpu.ops.anchored import AnchoredIndex
         if ref_fasta is None:
-            ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
+            ref_fasta = _companion(qm_path, "")
         index = AnchoredIndex.from_dictionary_and_fasta(
             dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
-    elif not (data_devices and data_devices > 1):
+    elif not ((data_devices and data_devices > 1)
+              or (dict_devices and dict_devices > 1)):
         from quickmer2_tpu.ops.packed_table import PackedTable
         packed_table = PackedTable.from_dictionary(dictionary)
 
@@ -60,6 +62,7 @@ def run_cohort(qm_path: str, samples: list[tuple[str, str]],
         sc = StreamCounter(dictionary, mode=mode, index=index,
                            batch_bases=batch_bases, read_len=read_len,
                            data_devices=data_devices,
+                           dict_devices=dict_devices,
                            packed_table=packed_table)
         with open(sample_path, "rb") as f:
             first = f.read(chunk_bytes)

@@ -458,6 +458,8 @@ class StreamCounter:
             s["n_spilled"] = self.counter.n_spilled
             s["n_spilled2"] = self.counter.n_spilled2
             s["read_len"] = self.read_len
+        if self.overflow_counter is not None:
+            s["overflow_windows"] = self.overflow_counter.total_kmer_windows
         return s
 
     # -- checkpoint/resume ----------------------------------------------
@@ -550,7 +552,7 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
     if mode == "anchored":
         from quickmer2_tpu.ops.anchored import AnchoredIndex
         if ref_fasta is None:
-            ref_fasta = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
+            ref_fasta = _companion(qm_path, "")
         if hbm_limit_bytes is not None:
             # budget check BEFORE building: genome length from the .qai
             # header when present, else bounded above by the FASTA size
@@ -561,7 +563,12 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
                     g_est = _struct.unpack("<Q", f.read(16)[8:16])[0]
             else:
                 g_est = os.path.getsize(ref_fasta)
-            est = AnchoredIndex.estimate_hbm_bytes(dictionary.n_kmers, g_est)
+            # the budget is per device: the rows term (dominant) splits
+            # over the "dict" mesh axis, so a dict-sharded anchored run
+            # can fit where an unsharded one cannot — prefer that over
+            # falling back to the (slower) flat path
+            est = AnchoredIndex.estimate_hbm_bytes(
+                dictionary.n_kmers, g_est, dict_devices=dict_devices or 1)
             if est["total"] > hbm_limit_bytes:
                 fallback = {"reason": "anchored-structures-exceed-hbm",
                             "estimate_bytes": est,
@@ -569,8 +576,9 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
                 mode = "flat"
                 if verbose:
                     print(f"count: anchored structures need "
-                          f"~{est['total'] / 1e9:.1f} GB "
-                          f"(> limit {hbm_limit_bytes / 1e9:.1f} GB) — "
+                          f"~{est['total'] / 1e9:.1f} GB per device "
+                          f"(ds={est['dict_devices']}, > limit "
+                          f"{hbm_limit_bytes / 1e9:.1f} GB) — "
                           f"falling back to the flat "
                           f"{'sharded ' if data_devices else ''}path")
         if mode == "anchored":
@@ -689,6 +697,13 @@ def _autodetect_read_len(codes: np.ndarray, cap: int = 1024) -> int:
 
 def _companion(qm_path: str, ext: str) -> str:
     """The reference derives companions from the FASTA path (ref.fa.qgc);
-    our .qm paths are ref.fa.qm, so strip the .qm suffix first."""
-    base = qm_path[:-3] if qm_path.endswith(".qm") else qm_path
+    our .qm paths are ref.fa.qm (sparse writes ref.fa.rqm,
+    QuicKmer.c:1467-1477, with companions regenerated at ref.fa.*), so
+    strip the dictionary suffix first."""
+    if qm_path.endswith(".rqm"):
+        base = qm_path[:-4]
+    elif qm_path.endswith(".qm"):
+        base = qm_path[:-3]
+    else:
+        base = qm_path
     return base + ext

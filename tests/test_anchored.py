@@ -455,3 +455,20 @@ def test_hbm_budget_fallback(tmp_path):
     assert s2["mode"] == "flat"
     np.testing.assert_array_equal(formats.read_u16(d + "/capped.bin"),
                                   formats.read_u16(d + "/anch.bin"))
+
+    # dict-sharding-aware budget (VERDICT r3 Next #6): a budget that the
+    # unsharded rows exceed but a 4-way bucket-block shard fits must run
+    # ANCHORED (sharded), not fall back to flat
+    est1 = AnchoredIndex.estimate_hbm_bytes(20000, 20000, dict_devices=1)
+    est4 = AnchoredIndex.estimate_hbm_bytes(20000, 20000, dict_devices=4)
+    assert est4["rows"] == est1["rows"] // 4
+    budget = (est4["total"] + est1["total"]) // 2
+    s3 = run_count(fa + ".qm", fq, d + "/ds4", verbose=False,
+                   mode="anchored", ref_fasta=fa, hbm_limit_bytes=budget,
+                   dict_devices=4)
+    assert "fallback" not in s3 and s3["mode"] == "anchored"
+    np.testing.assert_array_equal(formats.read_u16(d + "/ds4.bin"),
+                                  formats.read_u16(d + "/anch.bin"))
+    s4 = run_count(fa + ".qm", fq, d + "/ds1cap", verbose=False,
+                   mode="anchored", ref_fasta=fa, hbm_limit_bytes=budget)
+    assert s4["mode"] == "flat"    # same budget, unsharded: falls back

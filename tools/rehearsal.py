@@ -4,17 +4,22 @@ GC isochores, microsatellites, a segmental duplication at known CN).
 
 Usage: python tools/rehearsal.py [n_mbases] [coverage]
        (defaults 8 Mb, 25x; the chr21-scale run is n_mbases=40)
+       python tools/rehearsal.py hifi [n_mbases] [coverage]
+       (BASELINE config 5: 15-20 kb HiFi-shaped reads at 0.3%/bp against
+        a sparse-thinned dictionary — reads exceed the anchored 1024
+        row-width cap, so the ENTIRE stream exercises the oversize-read
+        overflow routing at volume; reference long-read contract:
+        /root/reference/README.md:126-130)
 
-Reports one JSON object of structured metrics: phase wall times, spill
-and tier-2 rates, neighbor-bitmap density, filter survivor counts, and
-the recovered CN of the planted duplication. This is VERDICT r3 item
-#10 — the first numbers on non-uniform sequence (real FASTAs are not
-reachable from this environment; the generator plants the structures
-that drive anchor quality, bitmap density, and spill rate).
+Reports one JSON object of structured metrics: phase wall times
+(index_build_s separated, with a GRCh38 extrapolation), peak host RSS,
+spill and tier-2 rates, neighbor-bitmap density, filter survivor
+counts, and the recovered CN of the planted duplication.
 """
 
 import json
 import os
+import resource
 import sys
 import tempfile
 import time
@@ -24,6 +29,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.realistic_genome import make_genome, to_fasta  # noqa: E402
+
+GRCH38_BASES = 3.1e9
+
+
+def peak_rss_mb() -> int:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
 
 def simulate_reads_codes(rng, g, n_reads, read_len, err):
@@ -36,6 +47,41 @@ def simulate_reads_codes(rng, g, n_reads, read_len, err):
     flip = rng.random(n_reads) < 0.5
     reads[flip] = ((reads[flip, ::-1] + 2) % 4).astype(np.uint8)
     return reads
+
+
+_LUT = np.frombuffer(b"ACTG", np.uint8)
+
+
+def write_fastq_varlen(path, rng, g, total_bases, len_lo, len_hi, err,
+                       extra_seg=None, extra_bases=0):
+    """Variable-length HiFi-shaped FASTQ: read lengths uniform in
+    [len_lo, len_hi], substitution errors at err/bp, half rc. Returns
+    (n_reads, n_bases). extra_seg plants additional coverage over a
+    sub-sequence (the CNV)."""
+    n_reads = 0
+    n_bases = 0
+    with open(path, "wb") as f:
+        jobs = [(g, total_bases)]
+        if extra_seg is not None:
+            jobs.append((extra_seg, extra_bases))
+        for src, budget in jobs:
+            while budget > 0:
+                ln = int(rng.integers(len_lo, len_hi + 1))
+                ln = min(ln, len(src) - 1)
+                s = int(rng.integers(0, len(src) - ln))
+                r = src[s:s + ln].copy()
+                ne = rng.binomial(ln, err)
+                if ne:
+                    pos = rng.integers(0, ln, size=ne)
+                    r[pos] = (r[pos] + rng.integers(1, 4, size=ne)) % 4
+                if rng.random() < 0.5:
+                    r = ((r[::-1] + 2) % 4).astype(np.uint8)
+                f.write(b"@r\n" + _LUT[r].tobytes() + b"\n+\n"
+                        + b"I" * ln + b"\n")
+                budget -= ln
+                n_reads += 1
+                n_bases += ln
+    return n_reads, n_bases
 
 
 def write_fastq_codes(path, reads):
@@ -69,14 +115,18 @@ def main():
     from quickmer2_tpu.pipelines.count import run_count
     from quickmer2_tpu.pipelines.est import run_est
 
-    mb = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
-    coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 25.0
+    args = sys.argv[1:]
+    hifi = bool(args) and args[0] == "hifi"
+    if hifi:
+        args = args[1:]
+    mb = float(args[0]) if args else 8.0
+    coverage = float(args[1]) if len(args) > 1 else 25.0
     n_bases = int(mb * 1e6)
     read_len = 150
     dup_len = min(200_000, n_bases // 20)
     dup_copies = 2          # true CN = 2*(1+2) = 6
     err = 0.003
-    out = {}
+    out = {"config": "hifi-sparse" if hifi else "illumina"}
     rng = np.random.default_rng(12)
     d = tempfile.mkdtemp(prefix="rehearsal-")
 
@@ -121,26 +171,67 @@ def main():
     out["n_kmers"] = dic.n_kmers
     out["dict_fraction"] = round(dic.n_kmers / max(len(g) - 29, 1), 4)
 
-    n_reads = int(coverage * len(g) / read_len)
-    reads = simulate_reads_codes(rng, g, n_reads, read_len, err)
-    seg = g[seg_start:seg_start + seg_len]
-    extra = simulate_reads_codes(
-        rng, seg, int(2 * coverage * len(seg) / read_len), read_len, err)
+    qm = fa + ".qm"
+    if hifi:
+        # BASELINE config 5: thin the dictionary to >=1 k-mer / 100 bp
+        # (regenerates .bed/.qgc against the thinned set) and stream
+        # 15-20 kb reads — every read exceeds the anchored 1024 row cap
+        # and routes through the oversize-read overflow path
+        from quickmer2_tpu.pipelines.sparse import run_sparse
+        t_sp = time.time()
+        sdic = run_sparse(fa, 100, window_size=100, control_bed=ctrl,
+                          verbose=True)
+        out["sparse_s"] = round(time.time() - t_sp, 1)
+        out["n_kmers_thinned"] = sdic.n_kmers
+        qm = fa + ".rqm"
+        dic = sdic
+
+    # anchored index build, timed separately from the count (the .qai
+    # is the artifact every anchored count depends on; VERDICT r3
+    # Missing #3 asks for its cost per Mb + a GRCh38 extrapolation)
+    from quickmer2_tpu.ops.anchored import AnchoredIndex
+    t_idx = time.time()
+    AnchoredIndex.from_dictionary_and_fasta(dic, fa, cache_path=fa + ".qai")
+    out["index_build_s"] = round(time.time() - t_idx, 1)
+    out["index_build_s_per_mb"] = round(out["index_build_s"] / mb, 2)
+    out["index_grch38_extrapolation_h"] = round(
+        out["index_build_s"] * GRCH38_BASES / len(g) / 3600, 2)
+
     fq = os.path.join(d, "r.fq")
-    write_fastq_codes(fq, np.concatenate([reads, extra]))
-    out["n_reads"] = n_reads + len(extra)
+    seg = g[seg_start:seg_start + seg_len]
+    if hifi:
+        n_reads, nb = write_fastq_varlen(
+            fq, rng, g, int(coverage * len(g)), 15_000, 20_000, err,
+            extra_seg=seg, extra_bases=int(2 * coverage * len(seg)))
+        out["n_reads"] = n_reads
+        out["read_bases"] = nb
+        mean_read_len = nb / n_reads
+    else:
+        n_reads = int(coverage * len(g) / read_len)
+        reads = simulate_reads_codes(rng, g, n_reads, read_len, err)
+        extra = simulate_reads_codes(
+            rng, seg, int(2 * coverage * len(seg) / read_len), read_len, err)
+        write_fastq_codes(fq, np.concatenate([reads, extra]))
+        out["n_reads"] = n_reads + len(extra)
+        mean_read_len = read_len
 
     t2 = time.time()
-    stats = run_count(fa + ".qm", fq, os.path.join(d, "s"), verbose=True,
+    stats = run_count(qm, fq, os.path.join(d, "s"), verbose=True,
                       mode="anchored", ref_fasta=fa)
     out["count_s"] = round(time.time() - t2, 1)
     out["count_stats"] = {k: v for k, v in stats.items()
                           if k in ("n_reads", "n_spilled", "n_spilled2",
-                                   "mean_depth", "phases", "read_len")}
-    out["spill_rate"] = round(stats["n_spilled"] / stats["n_reads"], 5)
-    out["tier2_exact_rate"] = round(stats["n_spilled2"] / stats["n_reads"], 5)
+                                   "mean_depth", "phases", "read_len",
+                                   "overflow_windows")}
+    anchored_reads = stats.get("n_reads", 0)
+    if anchored_reads:
+        out["spill_rate"] = round(stats["n_spilled"] / anchored_reads, 5)
+        out["tier2_exact_rate"] = round(stats["n_spilled2"] / anchored_reads, 5)
+    out["overflow_read_fraction"] = round(
+        1.0 - anchored_reads / out["n_reads"], 5)
     wall = stats["phases"]["stream_s"] + stats["phases"]["finish_s"]
-    windows = stats["n_reads"] * (read_len - 29)
+    windows = (stats.get("overflow_windows", 0)
+               + anchored_reads * (int(mean_read_len) - 29))
     out["count_kmers_per_s"] = round(windows / wall)
 
     # neighbor-bit density of the .qai index
@@ -164,6 +255,7 @@ def main():
         if in_seg.any() else None
     out["expected_cnv_cn"] = 6.0
     out["total_s"] = round(time.time() - t0, 1)
+    out["peak_rss_mb"] = peak_rss_mb()
     out["dir"] = d
     print(json.dumps(out, indent=2))
 
