@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out-prefix", type=str, default=None)
     s.add_argument("--json", action="store_true",
                    help="print structured per-phase stats as one JSON line")
+    s.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="write an xprof/TensorBoard trace of the run to DIR")
     s.add_argument("fasta")
 
     c = sub.add_parser("count", help="count k-mer depth from sample reads")
@@ -73,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--json", action="store_true",
                    help="print the run's structured stats as one JSON "
                         "line on stdout")
+    c.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="write an xprof/TensorBoard trace of the run "
+                        "(per-kernel device timing) to DIR")
     c.add_argument("fasta", help="reference FASTA path or .qm path")
     c.add_argument("sample", help="FASTA/FASTQ reads ('-' for stdin)")
     c.add_argument("out_prefix")
@@ -133,8 +138,10 @@ def main(argv=None) -> int:
                            window_size=args.w, control_bed=args.c,
                            quirk_mod32_editdist=args.quirk_editdist)
         stats = {}
-        run_search(args.fasta, cfg, out_prefix=args.out_prefix,
-                   verbose=not args.json, stats=stats)
+        from quickmer2_tpu.utils.profiling import trace
+        with trace(args.profile):
+            run_search(args.fasta, cfg, out_prefix=args.out_prefix,
+                       verbose=not args.json, stats=stats)
         if args.json:
             print(json.dumps(stats))
 
@@ -142,15 +149,17 @@ def main(argv=None) -> int:
         import json
         from quickmer2_tpu.pipelines.count import run_count
         qm = args.fasta if args.fasta.endswith(".qm") else args.fasta + ".qm"
-        stats = run_count(
-            qm, args.sample, args.out_prefix,
-            batch_bases=args.batch_bases, mode=args.mode,
-            ref_fasta=args.fasta if args.mode == "anchored" else None,
-            read_len=args.read_len, data_devices=args.data_devices,
-            dict_devices=args.dict_devices,
-            checkpoint_path=args.checkpoint,
-            checkpoint_every_bytes=args.checkpoint_every,
-            verbose=not args.json)
+        from quickmer2_tpu.utils.profiling import trace
+        with trace(args.profile):
+            stats = run_count(
+                qm, args.sample, args.out_prefix,
+                batch_bases=args.batch_bases, mode=args.mode,
+                ref_fasta=args.fasta if args.mode == "anchored" else None,
+                read_len=args.read_len, data_devices=args.data_devices,
+                dict_devices=args.dict_devices,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every_bytes=args.checkpoint_every,
+                verbose=not args.json)
         if args.json:
             print(json.dumps(stats))
 

@@ -94,6 +94,28 @@ count_step_packed = jax.jit(count_kernel_packed,
                             donate_argnums=(2,))
 
 
+def count_kernel_mono(codes, rows, depth, *, k: int, n_buckets: int):
+    """Mono-table count batch: ONE 64B row gather per k-mer
+    (ops.monotable). depth accumulates in SLOT order (permuted to rank
+    order once at finish); returns (depth, packed unresolved bitmask)
+    — unresolved lanes (miss in a full bucket) may belong to the side
+    table and are recounted on the host by the caller."""
+    from quickmer2_tpu.ops.monotable import probe_mono
+    chi, clo, valid = codec.sliding_kmers(codes, k)
+    trash = depth.shape[0] - 1
+    found, slot, unresolved = probe_mono(rows, chi, clo, n_buckets)
+    idx = jnp.where(valid & found, slot,
+                    jnp.uint32(trash)).astype(jnp.int32)
+    depth = depth.at[idx].add(1, mode="promise_in_bounds")
+    ub = jnp.packbits(valid & unresolved)
+    return depth, ub
+
+
+count_step_mono = jax.jit(count_kernel_mono,
+                          static_argnames=("k", "n_buckets"),
+                          donate_argnums=(2,))
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _kmerize_step(codes, *, k: int):
     """Device rolling codec only — feeds the sortjoin engine."""
@@ -249,6 +271,17 @@ class DepthCounter:
             # across counters (cohort batching, overflow side-counters)
             self._packed = packed_table or PackedTable.from_dictionary(dictionary)
             self.rows = self._packed.device_rows()
+        elif layout == "mono":
+            from quickmer2_tpu.ops.monotable import MonoTable
+            self._mono = (packed_table
+                          if isinstance(packed_table, MonoTable)
+                          else MonoTable.from_dictionary(dictionary))
+            self.rows = self._mono.device_rows()
+            # depth lives in SLOT space until finish; unresolved lanes
+            # (possible side-table members) recount on the host lazily
+            self._side_counts = np.zeros(dictionary.n_kmers, np.uint64)
+            self._pending_masks: list[tuple[np.ndarray, object]] = []
+            self.depth = jnp.zeros(self._mono.n_slots + 1, dtype=jnp.uint32)
         elif layout == "sortjoin":
             from quickmer2_tpu.ops.sortjoin import SortJoinEngine
             self._engine = SortJoinEngine(dictionary.kmers_in_order)
@@ -257,7 +290,8 @@ class DepthCounter:
             self.table_hi = jnp.asarray(hi)
             self.table_lo = jnp.asarray(lo)
             self.rank = jnp.asarray(rank)
-        self.depth = jnp.zeros(dictionary.n_kmers + 1, dtype=jnp.uint32)
+        if layout != "mono":
+            self.depth = jnp.zeros(dictionary.n_kmers + 1, dtype=jnp.uint32)
         self._carry = np.zeros(0, np.uint8)
         self._pending: list[np.ndarray] = []
         self._pending_len = 0
@@ -278,6 +312,15 @@ class DepthCounter:
             self.depth = count_step_packed(
                 jnp.asarray(batch), self.rows, self.depth, k=self.k,
                 n_buckets=self._packed.n_buckets)
+        elif self.layout == "mono":
+            self.depth, ub = count_step_mono(
+                jnp.asarray(batch), self.rows, self.depth, k=self.k,
+                n_buckets=self._mono.n_buckets)
+            # fetch masks one batch behind so the D2H never stalls the
+            # next dispatch; ~0.1% of lanes at load 0.5 end up unresolved
+            self._pending_masks.append((batch, ub))
+            if len(self._pending_masks) > 1:
+                self._drain_mask(*self._pending_masks.pop(0))
         elif self.layout == "sortjoin":
             chi, clo, valid = _kmerize_step(jnp.asarray(batch), k=self.k)
             self._engine.count_codes(chi, clo, valid)
@@ -300,7 +343,33 @@ class DepthCounter:
             self._pending, self._pending_len = [], 0
         if self.layout == "sortjoin":
             return self._engine.finish()
+        if self.layout == "mono":
+            for pend in self._pending_masks:
+                self._drain_mask(*pend)
+            self._pending_masks = []
+            slots = np.asarray(jax.device_get(self.depth))[:-1]
+            out = np.zeros(self.dict.n_kmers, np.uint64)
+            live = self._mono.slot_rank < self.dict.n_kmers
+            out[self._mono.slot_rank[live]] = slots[live]
+            out += self._side_counts
+            return out.astype(np.uint32)          # u32 wrap (Q8 parity)
         return np.asarray(jax.device_get(self.depth))[:-1]
+
+    def _drain_mask(self, batch: np.ndarray, ub) -> None:
+        """Recount this batch's unresolved lanes against the side
+        table (host; the lanes are rare)."""
+        mask = np.unpackbits(np.asarray(jax.device_get(ub)))
+        lanes = np.flatnonzero(mask)
+        if len(lanes) == 0:
+            return
+        canon, valid = codec.sliding_kmers_np(batch, self.k)
+        lanes = lanes[lanes < len(canon)]
+        km = canon[lanes]
+        hi = (km >> np.uint64(32)).astype(np.uint32)
+        lo = km.astype(np.uint32)
+        found, rank = self._mono.side_lookup_np(hi, lo)
+        if found.any():
+            np.add.at(self._side_counts, rank[found], 1)
 
     # -- checkpoint/resume (utils.checkpoint) --------------------------
 
@@ -313,12 +382,22 @@ class DepthCounter:
                 "checkpointing uses the packed layout")
         residual = np.concatenate([self._carry] + self._pending) \
             if (self._pending_len or len(self._carry)) else np.zeros(0, np.uint8)
-        return {"depth": np.asarray(jax.device_get(self.depth)),
+        snap = {"depth": np.asarray(jax.device_get(self.depth)),
                 "residual": residual,
                 "windows": self.total_kmer_windows}
+        if self.layout == "mono":
+            for pend in self._pending_masks:
+                self._drain_mask(*pend)
+            self._pending_masks = []
+            snap["side_counts"] = self._side_counts.copy()
+        return snap
 
     def restore(self, snap: dict) -> None:
         self.depth = jnp.asarray(snap["depth"])
+        if self.layout == "mono":
+            self._side_counts = np.asarray(snap["side_counts"],
+                                           np.uint64).copy()
+            self._pending_masks = []
         residual = snap["residual"]
         # the first k-1 of the residual are the carry; re-split exactly
         self._carry = np.zeros(0, np.uint8)
@@ -620,8 +699,11 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
             # for pipes too since we already hold the first chunk
             fmt = fmt or ("fastq" if first[:1] == b"@" else "fasta-lines")
             packer = make_packer(fmt)
+        from quickmer2_tpu.utils.profiling import annotate
         data = first
         t_stream = time.time()
+        stream_region = annotate("count.stream")
+        stream_region.__enter__()
         while data:
             sc.feed_codes(packer.feed(data))
             bytes_consumed += len(data)
@@ -636,9 +718,11 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
     finally:
         if sample_path != "-":
             stream.close()
+    stream_region.__exit__(None, None, None)
     stream_s = time.time() - t_stream
     tf = time.time()
-    depth = sc.finish()
+    with annotate("count.finish"):
+        depth = sc.finish()
     finish_s = time.time() - tf
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)

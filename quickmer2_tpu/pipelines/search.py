@@ -127,6 +127,8 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
     stats: optional dict the run fills with structured per-phase metrics
     (tabulate/filter/emit wall seconds, k-mer counts)."""
     import time
+
+    from quickmer2_tpu.utils.profiling import annotate
     t0 = time.time()
     out_prefix = out_prefix or fasta_path
     k = cfg.kmer_size
@@ -135,8 +137,9 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
     # re-opened for pass 2, so at most ONE chromosome's sequence is in
     # host memory at a time — the reference caps the same way with its
     # 256 MB per-chromosome buffer, QuicKmer.c:942) -------------------
-    uniq, occr_vals, n_positions = _tabulate_streaming(
-        fasta_io.iter_fasta(fasta_path), k)
+    with annotate("search.tabulate"):
+        uniq, occr_vals, n_positions = _tabulate_streaming(
+            fasta_io.iter_fasta(fasta_path), k)
     hash_size = _final_hash_size(cfg.hash_size, len(uniq))
     if verbose:
         print(f"search: {n_positions} k-mer positions, {len(uniq)} distinct, "
@@ -159,6 +162,8 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
     keep_uniq = occr_vals == 1
     n_removed = 0
     if cfg.edit_distance > 0:
+        filter_region = annotate("search.filter")
+        filter_region.__enter__()
         unique_kmers = uniq[keep_uniq]
         if cfg.quirk_mod32_editdist:
             if k != 30:
@@ -183,6 +188,7 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
         kill[np.flatnonzero(keep_uniq)[~survive]] = True
         keep_uniq = keep_uniq & ~kill
         n_removed = int((~survive).sum())
+        filter_region.__exit__(None, None, None)
         if verbose:
             print(f"search: edit filter removed {n_removed} "
                   f"of {len(unique_kmers)} unique k-mers")
@@ -194,6 +200,8 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
 
     # -- stage 3: genome-order emission -------------------------------
     ctrl_rows = emit_mod.read_ctrl(cfg.control_bed) if cfg.control_bed else None
+    emit_region = annotate("search.emit")
+    emit_region.__enter__()
     emitter = emit_mod.GenomeOrderEmitter(k, cfg.window_size, ctrl_rows,
                                           cfg.gc_window_bp)
     for name, seq in fasta_io.iter_fasta(fasta_path):
@@ -215,6 +223,7 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
         cfg.edit_depth_threshold)
     dictionary.to_qm(out_prefix + ".qm")
     emitter.write(out_prefix)
+    emit_region.__exit__(None, None, None)
     if stats is not None:
         stats.update({
             "n_positions": int(n_positions), "n_distinct": int(len(uniq)),

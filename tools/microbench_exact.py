@@ -211,6 +211,10 @@ def sorts(lat, rng):
 
 
 def main():
+    import os
+    if os.environ.get("QM2_BENCH_PLATFORM"):   # the axon plugin force-sets
+        jax.config.update("jax_platforms",     # the env var; config wins
+                          os.environ["QM2_BENCH_PLATFORM"])
     expts = sys.argv[1:] or ["probes"]
     rng = np.random.default_rng(0)
     lat = measure_lat()
