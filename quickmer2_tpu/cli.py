@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print structured per-phase stats as one JSON line")
     s.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="write an xprof/TensorBoard trace of the run to DIR")
+    s.add_argument("--emit-devices", type=int, default=None,
+                   help="genome-shard the pass-2 membership scan over N "
+                        "devices (k-1 halos; bit-identical artifacts)")
     s.add_argument("fasta")
 
     c = sub.add_parser("count", help="count k-mer depth from sample reads")
@@ -141,7 +144,8 @@ def main(argv=None) -> int:
         from quickmer2_tpu.utils.profiling import trace
         with trace(args.profile):
             run_search(args.fasta, cfg, out_prefix=args.out_prefix,
-                       verbose=not args.json, stats=stats)
+                       verbose=not args.json, stats=stats,
+                       emit_devices=args.emit_devices)
         if args.json:
             print(json.dumps(stats))
 

@@ -119,13 +119,19 @@ def _final_hash_size(h0: int, distinct: int) -> int:
 def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None,
                use_device_filter: bool = True, filter_batch: int = 4096,
                filter_impl: str = "hamming", verbose: bool = True,
-               stats: dict | None = None) -> Dictionary:
+               stats: dict | None = None,
+               emit_devices: int | None = None) -> Dictionary:
     """Full search phase. Writes <out>.qm, <out>.bed and, when a control
     bed is configured, <out>.qgc (out defaults to the FASTA path, like
     the reference which names outputs ref.fa.qm etc.).
 
     stats: optional dict the run fills with structured per-phase metrics
-    (tabulate/filter/emit wall seconds, k-mer counts)."""
+    (tabulate/filter/emit wall seconds, k-mer counts).
+
+    emit_devices: run the pass-2 membership scan on device, genome-
+    sharded over this many devices with k-1 halos
+    (parallel.emit_parallel) instead of the host C lookup loop —
+    bit-identical artifacts. None/0 = host path."""
     import time
 
     from quickmer2_tpu.utils.profiling import annotate
@@ -204,15 +210,32 @@ def run_search(fasta_path: str, cfg: SearchConfig, out_prefix: str | None = None
     emit_region.__enter__()
     emitter = emit_mod.GenomeOrderEmitter(k, cfg.window_size, ctrl_rows,
                                           cfg.gc_window_bp)
+    scanner = None
+    if emit_devices:
+        from quickmer2_tpu.ops.packed_table import PackedTable
+        from quickmer2_tpu.parallel.emit_parallel import (
+            DeviceMembershipScanner)
+        survivors = uniq[keep_uniq]
+        shi, slo = codec.split_u64(survivors)
+        stab = PackedTable.build(
+            shi, slo, rank=np.arange(len(survivors), dtype=np.uint32))
+        scanner = DeviceMembershipScanner(stab, k,
+                                          data_devices=emit_devices)
     for name, seq in fasta_io.iter_fasta(fasta_path):
         canon, valid = _chrom_kmers(seq, k)
-        if native.available():
+        if scanner is not None:
+            # genome-sharded device scan against the survivor table —
+            # same hit set as (found in pass-1) & keep_flag
+            hit = scanner.scan(codec.encode_bases(
+                np.frombuffer(seq, dtype=np.uint8)))
+        elif native.available():
             pos_slots, found = native.lookup_keys(table, canon)
+            hit = valid & found & keep_flag[pos_slots]
         else:
             from quickmer2_tpu.ops import hash as qhash
             pos_slots, found = qhash.probe_lookup_np(table, canon, hash_size)
+            hit = valid & found & keep_flag[pos_slots]
         # k-mer END positions are the reference's index (QuicKmer.c:987-1021)
-        hit = valid & found & keep_flag[pos_slots]
         emitter.add_chrom(name, seq, canon, hit)
 
     if verbose:
