@@ -423,21 +423,28 @@ def sortjoin_watchdog(timeout_s: int = 600):
     if os.environ.get("QM2_BENCH_SCALE") == "small":
         return "skipped-small"
     here = os.path.dirname(os.path.abspath(__file__))
+    stdout = ""
+    timed_out = False
     try:
         r = subprocess.run(
             [sys.executable, "-u",
              os.path.join(here, "tools", "microbench_exact.py"), "sortjoin"],
             capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        log(f"# sortjoin: TIMED OUT after {timeout_s}s (watchdog) — "
-            f"recorded as stalled")
-        return f"stalled>{timeout_s}s"
+        stdout = r.stdout or ""
+        stderr = r.stderr or ""
+    except subprocess.TimeoutExpired as e:
+        timed_out = True
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        stderr = ""
     rates = {}
     for m in re.finditer(r"sortjoin (n=\S+ q=\S+):\s+([\d.]+) M kmers/s",
-                         r.stdout):
+                         stdout):
         rates[m.group(1)] = round(float(m.group(2)) * 1e6)
+    if timed_out:
+        rates["note"] = f"watchdog-killed-at-{timeout_s}s (sort compile blowup)"
     log(f"# sortjoin (watchdogged subprocess): "
-        f"{rates if rates else r.stdout[-300:] or r.stderr[-300:]}")
+        f"{rates if rates else stdout[-300:] or stderr[-300:]}")
     return rates or "no-output"
 
 

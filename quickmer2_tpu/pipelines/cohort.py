@@ -47,8 +47,8 @@ def run_cohort(qm_path: str, samples: list[tuple[str, str]],
             dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
     elif not ((data_devices and data_devices > 1)
               or (dict_devices and dict_devices > 1)):
-        from quickmer2_tpu.ops.packed_table import PackedTable
-        packed_table = PackedTable.from_dictionary(dictionary)
+        from quickmer2_tpu.ops.monotable import MonoTable
+        packed_table = MonoTable.from_dictionary(dictionary)
 
     qgc_path = _companion(qm_path, ".qgc")
     if not os.path.exists(qgc_path):

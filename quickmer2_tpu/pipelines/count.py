@@ -252,15 +252,19 @@ def detect_format(path: str) -> str:
 class DepthCounter:
     """Accumulates k-mer depth over streamed code batches on device.
 
-    layout="packed" (default) uses the TPU-native bucketized two-choice
-    table (2 row gathers/k-mer); layout="sortjoin" the random-access-
-    free sort-merge-join engine (ops.sortjoin); layout="linear" keeps
-    the reference-layout probe loop (used by compat tests). All produce
-    identical depth vectors.
+    layout="mono" (default) uses the single-gather bucket table
+    (ops.monotable; measured 88.5 M kmers/s device-only on v5e vs the
+    two-choice table's 59.7 — BENCH_r04); layout="packed" the
+    bucketized two-choice table (2 row gathers/k-mer);
+    layout="sortjoin" the random-access-free sort-merge-join engine
+    (ops.sortjoin; measured slower, and its large-shape sort compiles
+    pathologically — see tools/microbench_exact.py); layout="linear"
+    keeps the reference-layout probe loop (used by compat tests). All
+    produce identical depth vectors.
     """
 
     def __init__(self, dictionary: Dictionary, batch_bases: int = 1 << 24,
-                 layout: str = "packed", packed_table=None):
+                 layout: str = "mono", packed_table=None):
         self.dict = dictionary
         self.k = dictionary.kmer_size
         self.batch_bases = batch_bases
@@ -357,14 +361,20 @@ class DepthCounter:
 
     def _drain_mask(self, batch: np.ndarray, ub) -> None:
         """Recount this batch's unresolved lanes against the side
-        table (host; the lanes are rare)."""
+        table. Host cost is O(lanes), not O(batch): only the k-mer
+        windows AT the unresolved positions are re-encoded (gathered
+        into a SEP-separated strip and run through the exact host
+        codec)."""
         mask = np.unpackbits(np.asarray(jax.device_get(ub)))
         lanes = np.flatnonzero(mask)
+        lanes = lanes[lanes < len(batch) - self.k + 1]
         if len(lanes) == 0:
             return
-        canon, valid = codec.sliding_kmers_np(batch, self.k)
-        lanes = lanes[lanes < len(canon)]
-        km = canon[lanes]
+        m = len(lanes)
+        strip = np.full((m, self.k + 1), SEP, np.uint8)
+        strip[:, :self.k] = batch[lanes[:, None] + np.arange(self.k)]
+        canon, _ = codec.sliding_kmers_np(strip.reshape(-1), self.k)
+        km = canon[:: self.k + 1][:m]
         hi = (km >> np.uint64(32)).astype(np.uint32)
         lo = km.astype(np.uint32)
         found, rank = self._mono.side_lookup_np(hi, lo)
@@ -393,6 +403,13 @@ class DepthCounter:
         return snap
 
     def restore(self, snap: dict) -> None:
+        want = (self._mono.n_slots + 1 if self.layout == "mono"
+                else self.dict.n_kmers + 1)
+        if len(snap["depth"]) != want:
+            raise ValueError(
+                f"checkpoint depth length {len(snap['depth'])} != {want}; "
+                f"the checkpoint was taken with a different table layout "
+                f"than this counter's ({self.layout!r})")
         self.depth = jnp.asarray(snap["depth"])
         if self.layout == "mono":
             self._side_counts = np.asarray(snap["side_counts"],
@@ -563,11 +580,15 @@ class StreamCounter:
             arrays["depth"] = snap["depth"]
             arrays["residual"] = snap["residual"]
             meta["windows"] = snap["windows"]
+            if "side_counts" in snap:           # mono layout
+                arrays["side_counts"] = snap["side_counts"]
         if self.overflow_counter is not None:
             osnap = self.overflow_counter.snapshot()
             arrays["ovf_depth"] = osnap["depth"]
             arrays["ovf_residual"] = osnap["residual"]
             meta["ovf_windows"] = osnap["windows"]
+            if "side_counts" in osnap:
+                arrays["ovf_side_counts"] = osnap["side_counts"]
         return arrays, meta
 
     def restore(self, arrays: dict, meta: dict) -> None:
@@ -583,17 +604,22 @@ class StreamCounter:
                 self.row_streamer.restore({"tail": arrays["rs_tail"],
                                            "overflow": arrays["rs_overflow"]})
         else:
-            self.counter.restore({"depth": arrays["depth"],
-                                  "residual": arrays["residual"],
-                                  "windows": meta["windows"]})
+            snap = {"depth": arrays["depth"],
+                    "residual": arrays["residual"],
+                    "windows": meta["windows"]}
+            if "side_counts" in arrays:
+                snap["side_counts"] = arrays["side_counts"]
+            self.counter.restore(snap)
         if "ovf_depth" in arrays:
             self.overflow_counter = DepthCounter(
                 self.dict, batch_bases=self.batch_bases,
                 packed_table=self._packed_table)
-            self.overflow_counter.restore(
-                {"depth": arrays["ovf_depth"],
-                 "residual": arrays["ovf_residual"],
-                 "windows": meta["ovf_windows"]})
+            osnap = {"depth": arrays["ovf_depth"],
+                     "residual": arrays["ovf_residual"],
+                     "windows": meta["ovf_windows"]}
+            if "ovf_side_counts" in arrays:
+                osnap["side_counts"] = arrays["ovf_side_counts"]
+            self.overflow_counter.restore(osnap)
 
 
 def run_count(qm_path: str, sample_path: str, out_prefix: str,

@@ -26,12 +26,15 @@ await remote completion).
 Usage: python tools/microbench_exact.py [expt ...]
        expts: probes sortjoin sorts   (default: probes)
 """
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NQ = 1 << 22          # k-mer queries per iteration
 ITERS = 8
@@ -161,8 +164,16 @@ def probes(lat, rng):
 
 
 def sortjoin(lat, rng):
+    """Measured finding (TPU v5e via tunnel): the 3-operand 2-key sort
+    COMPILES in ~109 s at 1.3 M lanes and runs at ~97 M lanes/s, but
+    the compile time explodes super-linearly with lane count — a
+    5.2 M-lane shape did not finish compiling in 13+ minutes (this is
+    the round-3 "stall": XLA sort compilation, not execution). Configs
+    here stay under the blowup; the per-kmer rate at q=4n extrapolates
+    to ~78 M kmers/s — below the mono engine's measured 88.5 M — so
+    the sort-join engine LOSES on both counts and stays non-default."""
     from quickmer2_tpu.ops.sortjoin import sortjoin_count_batch
-    for logn, logq in ((18, 20), (20, 22), (22, 23), (22, 24)):
+    for logn, logq in ((18, 20), (18, 21)):
         n, q = 1 << logn, 1 << logq
         dk = np.sort(rng.choice(np.arange(1, 1 << 60, dtype=np.uint64),
                                 size=n, replace=False)) \
