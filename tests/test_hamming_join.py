@@ -60,6 +60,20 @@ def test_join_matches_bruteforce(rng, k, e):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("chunk_q", [64, 177])
+def test_join_query_chunking_exact(rng, chunk_q):
+    """Query-side chunking (the >34 Mb saturation fix) must not change
+    any sum — pairs are covered once per (query-chunk, word-chunk)
+    cell; also forces multiple word chunks."""
+    k, e = 15, 2
+    uniq, occ, cmap = _world(rng, k, 2500)
+    targets = uniq[occ == 1][:300]
+    want = brute_sums(targets.tolist(), cmap, k, e)
+    got = hamming_neighbor_sums(targets, uniq, occ, k, e, cpad=8,
+                                chunk_q=chunk_q, chunk_w=1000)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_join_overflow_slow_path(rng):
     """Low-complexity tracts overflow the part buckets; affected queries
     must take the slow path and still be exact."""
