@@ -305,31 +305,74 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
 
     slow_idx = np.flatnonzero(slow)
     if len(slow_idx):
-        if packed_rows is None:
-            uhi, ulo = codec.split_u64(uniq)
-            ptab = PackedTable.build(
-                uhi, ulo, rank=np.arange(len(uniq), dtype=np.uint32),
-                pos=np.asarray(occ, np.uint32))
-            packed_rows = jnp.asarray(ptab.rows)
-            n_buckets_packed = ptab.n_buckets
-        p1, d1, p2, d2 = (jnp.asarray(a) for a in edit_table(k, e))
-        sq = np.asarray(unique_kmers, np.uint64)[slow_idx]
-        rc_q = _rc_np(sq, k)
-        for off in range(0, len(sq), batch_slow):
-            sl = slice(off, min(off + batch_slow, len(sq)))
-            kh, kl = codec.split_u64(sq[sl])
-            rh, rl = codec.split_u64(rc_q[sl])
-            pad = batch_slow - (sl.stop - sl.start)
-            if pad:
-                kh, kl, rh, rl = (np.pad(a, (0, pad))
-                                  for a in (kh, kl, rh, rl))
-            out = neighbor_occr_sum_packed(
-                jnp.asarray(kh), jnp.asarray(kl), jnp.asarray(rh),
-                jnp.asarray(rl), packed_rows, p1, d1, p2, d2,
-                k=k, n_buckets=n_buckets_packed)
-            sums[slow_idx[sl]] = np.asarray(out)[: sl.stop - sl.start]
+        if packed_rows is not None:
+            # caller-supplied device table: per-neighbor packed probes
+            p1, d1, p2, d2 = (jnp.asarray(a) for a in edit_table(k, e))
+            sq = np.asarray(unique_kmers, np.uint64)[slow_idx]
+            rc_q = _rc_np(sq, k)
+            for off in range(0, len(sq), batch_slow):
+                sl = slice(off, min(off + batch_slow, len(sq)))
+                kh, kl = codec.split_u64(sq[sl])
+                rh, rl = codec.split_u64(rc_q[sl])
+                pad = batch_slow - (sl.stop - sl.start)
+                if pad:
+                    kh, kl, rh, rl = (np.pad(a, (0, pad))
+                                      for a in (kh, kl, rh, rl))
+                out = neighbor_occr_sum_packed(
+                    jnp.asarray(kh), jnp.asarray(kl), jnp.asarray(rh),
+                    jnp.asarray(rl), packed_rows, p1, d1, p2, d2,
+                    k=k, n_buckets=n_buckets_packed)
+                sums[slow_idx[sl]] = np.asarray(out)[: sl.stop - sl.start]
+        else:
+            # host path: enumerate neighbors vectorized and binary-search
+            # the SORTED distinct array (np.unique output) — no device
+            # table build (a GRCh38-scale table is GBs and the remote
+            # compiler rejected the resulting program; the slow set is
+            # small after query chunking, so O(slow * 4k * log W) host
+            # work is cheap)
+            sq = np.asarray(unique_kmers, np.uint64)[slow_idx]
+            sums[slow_idx] = _slow_sums_sorted_np(sq, uniq, occ, k, e)
 
     return np.minimum(sums, np.iinfo(np.uint32).max).astype(np.uint32)
+
+
+def _slow_sums_sorted_np(queries: np.ndarray, uniq_sorted: np.ndarray,
+                         occ: np.ndarray, k: int, e: int,
+                         batch: int = 512) -> np.ndarray:
+    """Neighbor-occurrence sums by vectorized enumeration + searchsorted
+    into the sorted distinct array. Exact-math semantics identical to
+    the device filter (edit_table enumeration, canonical min)."""
+    from quickmer2_tpu.ops.editdist import edit_table
+    p1, d1, p2, d2 = edit_table(k, e)
+    p1 = p1.astype(np.uint64)[None, :]
+    d1 = d1.astype(np.uint64)[None, :]
+    p2m = np.maximum(p2, 0).astype(np.uint64)[None, :]
+    d2m = (d2 * (p2 >= 0)).astype(np.uint64)[None, :]   # delta 0 = no-op
+    occ64 = np.asarray(occ, np.uint64)
+    out = np.zeros(len(queries), np.uint64)
+    rc_all = _rc_np(queries, k)
+
+    def mutate(f, r, pos, delta):
+        base = (f >> (np.uint64(2) * pos)) & np.uint64(3)
+        nb = (base + delta) & np.uint64(3)
+        x = base ^ nb
+        f = f ^ (x << (np.uint64(2) * pos))
+        r = r ^ (x << (np.uint64(2) * (np.uint64(k - 1) - pos)))
+        return f, r
+
+    for off in range(0, len(queries), batch):
+        f = queries[off: off + batch, None]
+        r = rc_all[off: off + batch, None]
+        f1, r1 = mutate(f, r, p1, d1)
+        f2, r2 = mutate(f1, r1, p2m, d2m)
+        canon = np.minimum(f2, r2)
+        idx = np.searchsorted(uniq_sorted, canon)
+        inb = idx < len(uniq_sorted)
+        idc = np.minimum(idx, len(uniq_sorted) - 1)
+        hit = inb & (uniq_sorted[idc] == canon)
+        out[off: off + batch] = np.sum(
+            np.where(hit, occ64[idc], np.uint64(0)), axis=1)
+    return out
 
 
 def _rc_np(kmers: np.ndarray, k: int) -> np.ndarray:
