@@ -189,7 +189,9 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
                           chunk_q: int = 4_000_000,
                           slab_buckets: int | None = None,
                           packed_rows=None, n_buckets_packed: int = 0,
-                          batch_slow: int = 4096) -> np.ndarray:
+                          batch_slow: int = 4096,
+                          escalate: int = 1,
+                          escalate_min: int = 1024) -> np.ndarray:
     """Neighbor-occurrence sums for `unique_kmers` (queries) against the
     distinct-genome-k-mer multiset (`uniq` canonical u64, `occ` u8/u32
     saturated counts). Exact: identical to brute-force enumeration.
@@ -304,6 +306,21 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
         del whi_d, wlo_d, wocc_d   # free before the slow-path table
 
     slow_idx = np.flatnonzero(slow)
+    # escalation: before any per-neighbor enumeration, rerun the JOIN on
+    # the slow set with much larger bucket pads (repeat families of up
+    # to ~240 copies become dense 240-wide compares — still VPU work,
+    # no random probes). Only the residual (microsatellite-grade hot
+    # buckets) falls through to enumeration. Without this, a
+    # repeat-rich 40 Mb genome put ~8% of queries on the enumeration
+    # path — tens of host-minutes; with it, the residual is tiny.
+    if len(slow_idx) > escalate_min and escalate > 0 and cpad < 240:
+        sums[slow_idx] = hamming_neighbor_sums(
+            np.asarray(unique_kmers, np.uint64)[slow_idx], uniq, occ, k, e,
+            cpad=240, cpad_q=240, chunk_w=chunk_w, chunk_q=chunk_q,
+            packed_rows=packed_rows, n_buckets_packed=n_buckets_packed,
+            batch_slow=batch_slow, escalate=escalate - 1,
+            escalate_min=escalate_min)
+        return np.minimum(sums, np.iinfo(np.uint32).max).astype(np.uint32)
     if len(slow_idx):
         if packed_rows is not None:
             # caller-supplied device table: per-neighbor packed probes

@@ -84,6 +84,11 @@ def test_join_overflow_slow_path(rng):
     # tiny cpad forces a substantial slow set
     got = hamming_neighbor_sums(targets, uniq, occ, k, e, cpad=4)
     np.testing.assert_array_equal(got, want)
+    # same, but the slow set must go through the ESCALATED join round
+    # (cpad 240) instead of enumeration — still exact
+    got2 = hamming_neighbor_sums(targets, uniq, occ, k, e, cpad=4,
+                                 escalate_min=1)
+    np.testing.assert_array_equal(got2, want)
     # sanity: overflow actually happened at this cpad
     from quickmer2_tpu.ops.hamming_join import _extract_part_np
     whi, wlo = codec.split_u64(uniq)
