@@ -62,6 +62,8 @@ class AnchoredIndex:
     dblock: jax.Array        # u32[G/DBLK, 4]: [rank_base, mask_hi, mask_lo, 0]
     n_kmers: int
     has_neighbor_bits: bool = False
+    host_rows: np.ndarray | None = None   # host copy of `rows` (derived
+    #                          tables build from it without a D2H fetch)
 
     @classmethod
     def build(cls, genome_codes: np.ndarray, dict_end_pos: np.ndarray,
@@ -110,7 +112,8 @@ class AnchoredIndex:
         return cls(jnp.asarray(table.rows), table.n_buckets,
                    jnp.asarray(np.ascontiguousarray(tiles)), G,
                    jnp.asarray(dblock), len(dict_end_pos),
-                   has_neighbor_bits=has_neighbor_bits)
+                   has_neighbor_bits=has_neighbor_bits,
+                   host_rows=table.rows)
 
     @staticmethod
     def estimate_hbm_bytes(n_kmers: int, genome_len: int,
@@ -127,6 +130,7 @@ class AnchoredIndex:
         tiles  = G bytes           (u8 code+flag per base, replicated)
         dblock = G/DBLK * 16 B     (prefix-count rows, replicated)
         """
+        from quickmer2_tpu.ops import monotable
         from quickmer2_tpu.ops.packed_table import ENTRIES_PER_BUCKET
         ds = max(int(dict_devices), 1)
         n_buckets = 1 << max(1, int(np.ceil(np.log2(
@@ -134,8 +138,18 @@ class AnchoredIndex:
         rows = n_buckets * 4 * ENTRIES_PER_BUCKET * 4 // ds
         tiles = -(-genome_len // GBLK) * GBLK
         dblock = -(-genome_len // DBLK) * 16
+        # single-device counters also carry the mono spill table + its
+        # slot accumulator (AnchoredDepthCounter mono_spill default);
+        # the sharded counter (ds > 1) runs spills on the packed rows
+        mono = 0
+        if ds == 1:
+            mb = 1 << max(1, int(np.ceil(np.log2(
+                max(n_kmers, 1) / (monotable.ENTRIES * 0.5)))))
+            mono = mb * 4 * monotable.ROW_WIDTH \
+                + (mb * monotable.ENTRIES + 1) * 4
         return {"rows": rows, "tiles": tiles, "dblock": dblock,
-                "dict_devices": ds, "total": rows + tiles + dblock}
+                "mono_spill": mono, "dict_devices": ds,
+                "total": rows + tiles + dblock + mono}
 
     @classmethod
     def load(cls, qai_path: str, dic) -> "AnchoredIndex":
@@ -849,6 +863,43 @@ def exact_count_rows_packed(packed, aux, rows, depth, *, fmt: str, k: int,
                             n_buckets=n_buckets)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_buckets"))
+def exact_count_rows_mono(reads, mono_rows, depth, *, k: int,
+                          n_buckets: int):
+    """Exact spill recount through the MONO single-gather table
+    (ops.monotable; measured 88.5 vs the packed probe's 59.7 M kmers/s
+    on v5e — BENCH_r04): one 64B row gather per k-mer, depth in SLOT
+    order. Returns (depth, packed unresolved bitmask over the R*W
+    window lanes) — unresolved lanes (miss in a full bucket) may
+    belong to the side table; the caller recounts them on the host."""
+    R, L = reads.shape
+    W = L - k + 1
+    trash = depth.shape[0] - 1
+    flat = reads.reshape(-1)
+    chi_f, clo_f, valid_f = codec.sliding_kmers(flat, k)
+    pad = R * L - chi_f.shape[0]
+    chi = jnp.pad(chi_f, (0, pad)).reshape(R, L)[:, :W].reshape(-1)
+    clo = jnp.pad(clo_f, (0, pad)).reshape(R, L)[:, :W].reshape(-1)
+    valid = jnp.pad(valid_f, (0, pad)).reshape(R, L)[:, :W].reshape(-1)
+    from quickmer2_tpu.ops.monotable import probe_mono
+    found, slot, unresolved = probe_mono(mono_rows, chi, clo, n_buckets)
+    idx = jnp.where(valid & found, slot, jnp.uint32(trash)).astype(jnp.int32)
+    depth = depth.at[idx].add(1, mode="promise_in_bounds")
+    return depth, jnp.packbits(valid & unresolved)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fmt", "k", "n_buckets", "read_len"))
+def exact_count_rows_mono_packed(packed, aux, mono_rows, depth, *,
+                                 fmt: str, k: int, n_buckets: int,
+                                 read_len: int):
+    """exact_count_rows_mono on 2-bit packed rows."""
+    from quickmer2_tpu.ops import rowpack
+    reads = rowpack.unpack_batch(fmt, packed, aux, read_len=read_len)
+    return exact_count_rows_mono(reads, mono_rows, depth, k=k,
+                                 n_buckets=n_buckets)
+
+
 class AnchoredDepthCounter:
     """Feeds fixed-length read rows through the anchored fast path.
 
@@ -869,7 +920,8 @@ class AnchoredDepthCounter:
                  anchor_offsets: tuple | None = None,
                  neighbor_mode: bool | None = None,
                  spill_lag: int = 3, pack_h2d: bool = True,
-                 prefetch_puts: bool = True, put_depth: int = 1):
+                 prefetch_puts: bool = True, put_depth: int = 1,
+                 mono_spill: bool = True):
         self.index = index
         self.k = k
         self.read_len = read_len
@@ -923,6 +975,26 @@ class AnchoredDepthCounter:
         # plain-count accumulator for the exact path (single scatter per
         # k-mer instead of the diff convention's two)
         self.exact_acc = jnp.zeros(index.n_kmers + 2, dtype=jnp.uint32)
+        # mono_spill: spilled reads recount through the single-gather
+        # MONO table (measured 1.48x the packed probe — BENCH_r04) at
+        # the cost of +16B/kmer HBM for its rows; unresolved lanes
+        # (~1%) recount on the host against the side table. The sharded
+        # counter overrides the exact step and forces this off.
+        self.mono_spill = mono_spill
+        self._mono = None
+        if mono_spill:
+            from quickmer2_tpu.ops.monotable import MonoTable
+            hrows = (index.host_rows if index.host_rows is not None
+                     else np.asarray(index.rows))
+            flat = np.asarray(hrows).reshape(-1, 4)
+            live = (flat[:, 0] | flat[:, 1]) != 0
+            mt = MonoTable.build(flat[live, 0], flat[live, 1],
+                                 rank=flat[live, 2])
+            assert mt.n_kmers == index.n_kmers
+            self._mono = mt
+            self._mono_rows = jnp.asarray(mt.rows)
+            self.exact_slot = jnp.zeros(mt.n_slots + 1, jnp.uint32)
+            self._side_counts = np.zeros(index.n_kmers, np.uint64)
         self._pending: list[np.ndarray] = []
         self._pending_rows = 0
         self._spill: list[np.ndarray] = []
@@ -998,6 +1070,27 @@ class AnchoredDepthCounter:
 
     def _exact_step(self, batch: np.ndarray, put=None) -> None:
         ix = self.index
+        if self.mono_spill:
+            if put is not None:
+                fmt, pk, aux = put
+                self.exact_slot, ub = exact_count_rows_mono_packed(
+                    pk, aux, self._mono_rows, self.exact_slot, fmt=fmt,
+                    k=self.k, n_buckets=self._mono.n_buckets,
+                    read_len=self.read_len)
+            else:
+                self.exact_slot, ub = exact_count_rows_mono(
+                    jnp.asarray(batch), self._mono_rows, self.exact_slot,
+                    k=self.k, n_buckets=self._mono.n_buckets)
+            # side-table recount rides the same lagged drain queue as
+            # the spill masks
+            try:
+                ub.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+            self._inflight.append((batch, ub, "exactmask"))
+            while len(self._inflight) > self._lag:
+                self._drain_one()
+            return
         if put is not None:
             fmt, pk, aux = put
             self.exact_acc = exact_count_rows_packed(
@@ -1007,6 +1100,28 @@ class AnchoredDepthCounter:
             self.exact_acc = exact_count_rows(
                 jnp.asarray(batch), jnp.ones(len(batch), bool), ix.rows,
                 self.exact_acc, k=self.k, n_buckets=ix.n_buckets)
+
+    def _drain_exact_mask(self, batch: np.ndarray, ub) -> None:
+        """Recount this exact batch's unresolved window lanes against
+        the mono side table (host; O(lanes))."""
+        W = self.read_len - self.k + 1
+        mask = np.unpackbits(np.asarray(jax.device_get(ub)))
+        lanes = np.flatnonzero(mask[: len(batch) * W])
+        if len(lanes) == 0:
+            return
+        rows_i = lanes // W
+        cols = lanes % W
+        m = len(lanes)
+        strip = np.full((m, self.k + 1), codec.SEP, np.uint8)
+        idx = cols[:, None] + np.arange(self.k)[None, :]
+        strip[:, : self.k] = batch[rows_i[:, None], idx]
+        canon, _ = codec.sliding_kmers_np(strip.reshape(-1), self.k)
+        km = canon[:: self.k + 1][:m]
+        hi = (km >> np.uint64(32)).astype(np.uint32)
+        lo = km.astype(np.uint32)
+        found, rank = self._mono.side_lookup_np(hi, lo)
+        if found.any():
+            np.add.at(self._side_counts, rank[found], 1)
 
     # -- transfer queue: pack+put one batch ahead of dispatch ----------
 
@@ -1064,6 +1179,9 @@ class AnchoredDepthCounter:
         queue). Queues flush into _run_tier2/_run_exact when a full
         dense batch accumulates."""
         batch, mask, tier = self._inflight.popleft()
+        if tier == "exactmask":
+            self._drain_exact_mask(batch, mask)
+            return
         sp = np.asarray(mask).reshape(-1).astype(bool)
         n_sp = int(sp.sum())
         if not n_sp:
@@ -1123,6 +1241,11 @@ class AnchoredDepthCounter:
         diff, acc = self._merged_accumulators()
         depth = np.cumsum(diff, dtype=np.uint32)[: self.index.n_kmers]
         depth += acc[: self.index.n_kmers]
+        if self.mono_spill:
+            slots = np.asarray(jax.device_get(self.exact_slot))[:-1]
+            live = self._mono.slot_rank < self.index.n_kmers
+            depth[self._mono.slot_rank[live]] += slots[live]  # ranks unique
+            depth += self._side_counts.astype(np.uint32)   # u32 wrap (Q8)
         return depth
 
     # -- checkpoint/resume ----------------------------------------------
@@ -1156,7 +1279,11 @@ class AnchoredDepthCounter:
                   "spill": self._cat_rows(self._spill),
                   "spill2": self._cat_rows(self._spill2)}
         meta = {"n_reads": self.n_reads, "n_spilled": self.n_spilled,
-                "n_spilled2": self.n_spilled2, "read_len": self.read_len}
+                "n_spilled2": self.n_spilled2, "read_len": self.read_len,
+                "mono_spill": self.mono_spill}
+        if self.mono_spill:
+            arrays["exact_slot"] = np.asarray(jax.device_get(self.exact_slot))
+            arrays["side_counts"] = self._side_counts.copy()
         return arrays, meta
 
     def restore(self, arrays: dict, meta: dict) -> None:
@@ -1164,8 +1291,17 @@ class AnchoredDepthCounter:
             raise ValueError(
                 f"checkpoint read_len {meta['read_len']} != counter "
                 f"read_len {self.read_len}")
+        if bool(meta.get("mono_spill", False)) != self.mono_spill:
+            raise ValueError(
+                f"checkpoint mono_spill={meta.get('mono_spill')} != this "
+                f"counter's {self.mono_spill}; resume with the same setting")
         self._put_accumulators(np.asarray(arrays["diff"], np.uint32),
                                np.asarray(arrays["exact_acc"], np.uint32))
+        if self.mono_spill:
+            self.exact_slot = jnp.asarray(
+                np.asarray(arrays["exact_slot"], np.uint32))
+            self._side_counts = np.asarray(arrays["side_counts"],
+                                           np.uint64).copy()
         def rows_of(name):
             r = np.asarray(arrays[name], np.uint8).reshape(-1, self.read_len)
             return ([r] if len(r) else []), len(r)

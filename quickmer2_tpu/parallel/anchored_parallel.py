@@ -55,6 +55,13 @@ class ShardedAnchoredCounter(AnchoredDepthCounter):
         self.dp = mesh.shape["data"]
         self.ds = mesh.shape.get("dict", 1)
         batch_reads = -(-batch_reads // self.dp) * self.dp
+        # the sharded exact step runs the packed probe under shard_map
+        # (it reuses the possibly-dict-sharded index rows); the mono
+        # spill table is a single-device base-class feature
+        kw.setdefault("mono_spill", False)
+        if kw["mono_spill"]:
+            raise ValueError("mono_spill is not supported on the sharded "
+                             "anchored counter")
         super().__init__(index, k, read_len, batch_reads=batch_reads, **kw)
         rep = NamedSharding(mesh, P())
         if self.ds > 1:
