@@ -52,13 +52,19 @@ def split_codes_overlap(batch: np.ndarray, dp: int, k: int) -> np.ndarray:
 
 
 def make_sharded_count_step(mesh: Mesh, k: int, n_buckets: int,
-                            block_buckets: int, n_kmers: int):
+                            block_buckets: int, n_kmers: int,
+                            packed_h2d_len: int | None = None):
     """Jitted sharded count step over packed bucket blocks.
 
     step(codes[dp, C], rows[ds, Bb, 16], depth[dp, ds, n+1]) -> depth
-    """
+    With packed_h2d_len, `codes` arrives 2-bit packed (+ SEP bitmask)
+    and is unpacked per device inside the jit (ops.rowpack)."""
 
-    def local_step(codes, rows, depth):
+    def local_step(codes, bits, rows, depth):
+        if packed_h2d_len is not None:
+            from quickmer2_tpu.ops import rowpack
+            codes = rowpack.unpack_rows(codes, bits,
+                                        read_len=packed_h2d_len)
         codes = codes[0]
         rows = rows[0]            # (Bb, 16)
         my = jax.lax.axis_index("dict")
@@ -88,10 +94,10 @@ def make_sharded_count_step(mesh: Mesh, k: int, n_buckets: int,
 
     smapped = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("data", None), P("dict", None, None),
+        in_specs=(P("data", None), P("data", None), P("dict", None, None),
                   P("data", "dict", None)),
         out_specs=P("data", "dict", None))
-    return jax.jit(smapped, donate_argnums=(2,))
+    return jax.jit(smapped, donate_argnums=(3,))
 
 
 class ShardedDepthCounter:
@@ -99,11 +105,12 @@ class ShardedDepthCounter:
     feed/finish interface as the single-device version."""
 
     def __init__(self, dictionary: Dictionary, mesh: Mesh,
-                 batch_bases: int = 1 << 24):
+                 batch_bases: int = 1 << 24, pack_h2d: bool = True):
         self.dict = dictionary
         self.mesh = mesh
         self.k = dictionary.kmer_size
         self.batch_bases = batch_bases
+        self.pack_h2d = pack_h2d
         self.dp = mesh.shape["data"]
         self.ds = mesh.shape["dict"]
         packed = PackedTable.from_dictionary(dictionary)
@@ -116,8 +123,10 @@ class ShardedDepthCounter:
         self.depth = jax.device_put(
             np.zeros((self.dp, self.ds, n + 1), np.uint32),
             NamedSharding(mesh, P("data", "dict", None)))
+        self._chunk_len = -(-batch_bases // self.dp) + (self.k - 1)
         self._step = make_sharded_count_step(
-            mesh, self.k, packed.n_buckets, bb, n)
+            mesh, self.k, packed.n_buckets, bb, n,
+            packed_h2d_len=self._chunk_len if pack_h2d else None)
         self._sh_data = NamedSharding(mesh, P("data", None))
         self._carry = np.zeros(0, np.uint8)
         self._pending: list[np.ndarray] = []
@@ -135,8 +144,16 @@ class ShardedDepthCounter:
 
     def _run(self, batch: np.ndarray) -> None:
         shards = split_codes_overlap(batch, self.dp, self.k)
-        codes = jax.device_put(shards, self._sh_data)
-        self.depth = self._step(codes, self.rows, self.depth)
+        if self.pack_h2d:
+            from quickmer2_tpu.ops import rowpack
+            pk, bits = rowpack.pack_rows(shards)
+            codes = jax.device_put(pk, self._sh_data)
+            aux = jax.device_put(bits, self._sh_data)
+        else:
+            codes = jax.device_put(shards, self._sh_data)
+            aux = jax.device_put(
+                np.zeros((self.dp, 1), np.uint8), self._sh_data)
+        self.depth = self._step(codes, aux, self.rows, self.depth)
         self.total_kmer_windows += len(batch) - self.k + 1
         self._carry = batch[-(self.k - 1):].copy()
 
