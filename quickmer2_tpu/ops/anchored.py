@@ -983,16 +983,22 @@ class AnchoredDepthCounter:
         self.mono_spill = mono_spill
         self._mono = None
         if mono_spill:
-            from quickmer2_tpu.ops.monotable import MonoTable
-            hrows = (index.host_rows if index.host_rows is not None
-                     else np.asarray(index.rows))
-            flat = np.asarray(hrows).reshape(-1, 4)
-            live = (flat[:, 0] | flat[:, 1]) != 0
-            mt = MonoTable.build(flat[live, 0], flat[live, 1],
-                                 rank=flat[live, 2])
-            assert mt.n_kmers == index.n_kmers
+            # built once per index and cached on it (cohort batching
+            # constructs one counter per sample against a shared index)
+            mt = getattr(index, "_mono_cache", None)
+            if mt is None:
+                from quickmer2_tpu.ops.monotable import MonoTable
+                hrows = (index.host_rows if index.host_rows is not None
+                         else np.asarray(index.rows))
+                flat = np.asarray(hrows).reshape(-1, 4)
+                live = (flat[:, 0] | flat[:, 1]) != 0
+                mt = MonoTable.build(flat[live, 0], flat[live, 1],
+                                     rank=flat[live, 2])
+                assert mt.n_kmers == index.n_kmers
+                mt.device_rows_cached = jnp.asarray(mt.rows)
+                index._mono_cache = mt
             self._mono = mt
-            self._mono_rows = jnp.asarray(mt.rows)
+            self._mono_rows = mt.device_rows_cached
             self.exact_slot = jnp.zeros(mt.n_slots + 1, jnp.uint32)
             self._side_counts = np.zeros(index.n_kmers, np.uint64)
         self._pending: list[np.ndarray] = []
