@@ -34,10 +34,15 @@ trend is auditable from BENCH_r*.json alone:
   sortjoin_device_kmers_per_s  — sort-join engine, measured in a
                                  watchdogged subprocess (never hangs
                                  the bench; null + note on timeout)
-  e2e_pcie_projection_kmers_per_s — the measured e2e corrected to a
-      PCIe-class link: projected wall = max(measured non-H2D remainder,
-      host parse, modeled device time) + packed_bytes / 10 GB/s, all
-      terms measured (formula printed in the stderr breakdown)
+  e2e_device_replay_kmers_per_s — MEASURED: all packed batches
+      pre-staged on device, then the full tiered dispatch loop timed
+      (spill-mask fetches, host compaction, tier-2/exact rebatches and
+      their re-uploads, accumulator fetch all on the clock). The
+      trustworthy per-chip number on deployment-class transport.
+  e2e_pcie_projection_kmers_per_s — max(replay wall, host parse) +
+      packed_bytes / 10 GB/s. Every term measured directly; r4's
+      subtraction-based remainder (which could go negative when the
+      tunnel estimate exceeded the wall) is gone.
   index_build_s, h2d_mb_s      — context for the above
 """
 
@@ -164,6 +169,66 @@ def measure_h2d(jnp, jax):
     return sz / (time.time() - t0) / 1e6
 
 
+def device_replay(dic, index, fastq, read_len, jax, jnp):
+    """MEASURED everything-except-H2D rate (VERDICT r4 Next #1).
+
+    Parse the FASTQ and pre-stage every packed tier-1 batch on device
+    BEFORE the clock starts; then run the REAL tiered dispatch loop —
+    tier-1 kernels, lagged spill-mask fetches, host spill compaction,
+    tier-2 and exact rebatches (whose small re-uploads stay on the
+    clock, as they would on a real host), side-table drains, and the
+    final accumulator fetch. The wall is a direct measurement of the
+    host-orchestration + dispatch + device cost that remains when H2D
+    is not the bottleneck — no subtraction, no negative remainders.
+
+    Returns (wall_s, n_windows, host_parse_s, packed_mb, stats)."""
+    from quickmer2_tpu.ops.anchored import AnchoredDepthCounter, RowStreamer
+    from quickmer2_tpu.pipelines.count import make_packer
+
+    packer = make_packer("fastq")
+    t0 = time.time()
+    rs = RowStreamer(read_len, segment_k=K)
+    rows_parts = []
+    for off in range(0, len(fastq), CHUNK_BYTES):
+        r = rs.feed(packer.feed(fastq[off:off + CHUNK_BYTES]))
+        if len(r):
+            rows_parts.append(r)
+    tail = rs.finish()
+    if len(tail):
+        rows_parts.append(tail)
+    host_parse_s = time.time() - t0
+    rows = np.concatenate(rows_parts)
+
+    kw = dict(COUNTER_KW)
+    B = kw.get("batch_reads", 1 << 15)
+    counter = AnchoredDepthCounter(index, K, read_len, **kw)
+    pad = (-len(rows)) % B
+    if pad:
+        from quickmer2_tpu.ops.codec import SEP as _SEP
+        rows = np.concatenate(
+            [rows, np.full((pad, read_len), _SEP, np.uint8)])
+    batches = [rows[off:off + B] for off in range(0, len(rows), B)]
+    puts = [counter._pack_put(b) for b in batches]
+    jax.block_until_ready([p[1] for p in puts] + [p[2] for p in puts])
+    packed_mb = sum(int(np.asarray(p[1]).nbytes) + int(np.asarray(p[2]).nbytes)
+                    for p in puts) / 1e6
+
+    t1 = time.time()
+    counter.n_reads = 0
+    for b, p in zip(batches, puts):
+        counter.n_reads += len(b)
+        counter._put_q.append((1, b, p))
+        while len(counter._put_q) > counter._put_depth:
+            counter._dispatch_oldest()
+    depth = counter.finish()
+    wall = time.time() - t1
+    assert depth.sum() > 0
+    stats = {"n_spilled": counter.n_spilled,
+             "n_spilled2": counter.n_spilled2,
+             "phases": {k_: round(v, 3) for k_, v in counter.phase_s.items()}}
+    return wall, host_parse_s, packed_mb, stats
+
+
 def run_measured(dic, index, fastq, read_len):
     """The measured region: FASTQ bytes → depth via the product path.
 
@@ -255,24 +320,35 @@ def main():
     exact_rates = exact_diag(jax, jnp, dic, index, genome)
     sj = sortjoin_watchdog()
 
-    # transport-corrected projection at PCIe H2D (VERDICT r3 Next #2):
-    # every term measured. The tunnel hides device work under its huge
-    # H2D share, so the projected wall is the max of (a) the measured
-    # non-H2D remainder, (b) measured host parse, (c) modeled device
-    # time from the measured tier-1/exact rates — plus the PCIe
-    # transfer of the measured packed bytes (10 GB/s, conservative).
-    W = READ_LEN - K + 1
-    exact_best = max(exact_rates.values())
-    device_s = (head["n_windows"] / tier1_rate
-                + head["spilled"] * W / exact_best) if tier1_rate else None
-    pcie_s = head["packed_mb"] / 10_000
-    proj_wall = max(head["wall"] - head["h2d_s"], head["host_s"],
-                    device_s or 0) + pcie_s
-    proj = head["n_windows"] / proj_wall
-    log(f"# PCIe projection: max(remainder {head['wall'] - head['h2d_s']:.2f}s, "
-        f"host {head['host_s']:.2f}s, device-model {device_s:.2f}s) "
-        f"+ pcie-h2d {pcie_s:.3f}s → {proj / 1e6:.0f} M kmers/s "
-        f"({proj / BASELINE_KMERS_PER_S:.2f}x baseline)")
+    # MEASURED device-resident replay at the headline error rate
+    # (VERDICT r4 Next #1): pre-stage all packed batches on device, run
+    # the full tiered dispatch loop, time it. The PCIe projection is
+    # then max(replay wall, host parse) + packed bytes at PCIe rate —
+    # every term a direct measurement, no subtraction (a negative
+    # remainder is impossible by construction). Best of 2 (first replay
+    # run already has warm compiles from the e2e runs above).
+    fastq, n_windows = make_fastq(np.random.default_rng(7), genome,
+                                  HEADLINE_RATE)
+    replay_walls = []
+    for _ in range(2):
+        rep_wall, rep_parse, rep_mb, rep_stats = device_replay(
+            dic, index, fastq, 160, jax, jnp)
+        replay_walls.append(rep_wall)
+    rep_wall = min(replay_walls)
+    replay_rate = n_windows / rep_wall
+    pcie_s = rep_mb / 10_000          # 10 GB/s, conservative PCIe gen4
+    proj_wall = max(rep_wall, rep_parse) + pcie_s
+    proj = n_windows / proj_wall
+    log(f"# device-resident replay (err {HEADLINE_RATE * 100:.1f}%/bp): "
+        f"{n_windows / 1e6:.0f}M windows in {rep_wall:.2f}s (runs "
+        f"{'/'.join(f'{w:.2f}' for w in replay_walls)}) = "
+        f"{replay_rate / 1e6:.1f} M kmers/s MEASURED with all H2D "
+        f"pre-staged | host parse {rep_parse:.2f}s, packed {rep_mb:.0f} MB, "
+        f"phases {rep_stats['phases']}")
+    log(f"# PCIe projection: max(replay {rep_wall:.2f}s, parse "
+        f"{rep_parse:.2f}s) + pcie-h2d {pcie_s:.3f}s → {proj / 1e6:.0f} M "
+        f"kmers/s ({proj / BASELINE_KMERS_PER_S:.2f}x baseline) "
+        f"[tunnel that day: {h2d:.0f} MB/s]")
 
     print(json.dumps({
         "metric": "count_kmers_per_s_per_chip_e2e",
@@ -284,6 +360,13 @@ def main():
             "exact_device_kmers_per_s": {k_: round(v)
                                          for k_, v in exact_rates.items()},
             "sortjoin_device_kmers_per_s": sj,
+            "e2e_device_replay_kmers_per_s": round(replay_rate),
+            "e2e_device_replay_vs_baseline": round(
+                replay_rate / BASELINE_KMERS_PER_S, 3),
+            "replay_phases_s": rep_stats["phases"],
+            "replay_spill": {"n_spilled": rep_stats["n_spilled"],
+                             "n_spilled2": rep_stats["n_spilled2"]},
+            "host_parse_s": round(rep_parse, 2),
             "e2e_pcie_projection_kmers_per_s": round(proj),
             "e2e_pcie_projection_vs_baseline": round(
                 proj / BASELINE_KMERS_PER_S, 3),
@@ -413,7 +496,7 @@ def exact_diag(jax, jnp, dic, index, genome):
     return out
 
 
-def sortjoin_watchdog(timeout_s: int = 600):
+def sortjoin_watchdog(timeout_s: int = 900):
     """Measure the sortjoin engine in a SUBPROCESS with a hard timeout
     (its multi-operand device sort has stalled under the tunnel backend
     before — a diagnostic must never hang the bench). Returns

@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=1 << 30, metavar="BYTES",
                    help="checkpoint interval in consumed bytes "
                         "(K/M/G suffix ok, default 1G)")
+    c.add_argument("--engine", choices=["mono", "packed", "sortjoin",
+                                       "linear", "auto"], default="mono",
+                   help="flat-path exact engine; auto picks sortjoin for "
+                        "small dictionaries (no scatter wall) else mono")
     c.add_argument("--json", action="store_true",
                    help="print the run's structured stats as one JSON "
                         "line on stdout")
@@ -163,6 +167,7 @@ def main(argv=None) -> int:
                 dict_devices=args.dict_devices,
                 checkpoint_path=args.checkpoint,
                 checkpoint_every_bytes=args.checkpoint_every,
+                engine=args.engine,
                 verbose=not args.json)
         if args.json:
             print(json.dumps(stats))

@@ -167,6 +167,107 @@ def _part_chunk_join(whi, wlo, wocc, wslot, qhi, qlo, qslot, scaled, *,
     return jax.lax.fori_loop(0, B // slab, body, scaled)
 
 
+@functools.partial(
+    jax.jit, donate_argnums=(7,),
+    static_argnames=("B", "cpad", "cpad_q", "slab", "k", "lo_bit", "width"))
+def _part_chunk_join_bits(whi, wlo, wslot, qhi, qlo, qfwd, qslot, acc4, *,
+                          B: int, cpad: int, cpad_q: int, slab: int, k: int,
+                          lo_bit: int, width: int):
+    """One (part, DB-chunk) join emitting NEIGHBOR BITS instead of sums
+    (the .qai bitmap formulation — VERDICT r4 Next #6).
+
+    For every (query window, word) pair at Hamming distance EXACTLY 1,
+    the differing symbol s and the word's 2-bit value t there determine
+    the substitution that turns the window into the word: with the
+    query's canonical being its forward strand (qfwd), window offset
+    j = k-1-s and genome-strand base b = t; on the rc strand j = s and
+    b = (t-2)&3 (codec bit conventions, ops/codec.py:89-114). The pair
+    proves variant(window, j, b) is a dictionary member, so bit j of
+    the query's base-b plane is set. acc4: u32[nQ+1, 4] per-query bit
+    planes (bit j of plane b), donated; a pair is found by every
+    exact-part join that holds it, and the planes merge by OR, so the
+    multi-part double-find is harmless (unlike the sums join's 6/m
+    scaling). Within one call each query occupies exactly one bucket
+    slot, so the scatter-add never collides."""
+    nQ = qhi.shape[0]
+    hole_d = B * cpad
+    hole_q = B * cpad_q
+    keyw = _part_key_device(whi, wlo, lo_bit=lo_bit, width=width).astype(jnp.int32)
+    keyq = _part_key_device(qhi, qlo, lo_bit=lo_bit, width=width).astype(jnp.int32)
+    wf = jnp.where(wslot < cpad, keyw * cpad + wslot.astype(jnp.int32), hole_d)
+    qf = jnp.where(qslot < cpad_q, keyq * cpad_q + qslot.astype(jnp.int32),
+                   hole_q)
+    dh = jnp.zeros(hole_d + 1, jnp.uint32).at[wf].set(
+        whi, mode="promise_in_bounds")
+    dl = jnp.zeros(hole_d + 1, jnp.uint32).at[wf].set(
+        wlo, mode="promise_in_bounds")
+    # live-word flag: layout holes carry (0,0) which could false-match a
+    # real all-A query at H=1; mask holes explicitly
+    dlive = jnp.zeros(hole_d + 1, jnp.uint32).at[wf].set(
+        jnp.uint32(1), mode="promise_in_bounds")
+    dlive = dlive.at[hole_d].set(0)
+    qh = jnp.zeros(hole_q + 1, jnp.uint32).at[qf].set(
+        qhi, mode="promise_in_bounds")
+    ql = jnp.zeros(hole_q + 1, jnp.uint32).at[qf].set(
+        qlo, mode="promise_in_bounds")
+    qfw = jnp.zeros(hole_q + 1, jnp.uint32).at[qf].set(
+        qfwd.astype(jnp.uint32), mode="promise_in_bounds")
+    qidx = jnp.full(hole_q + 1, nQ, jnp.int32).at[qf].set(
+        jnp.arange(nQ, dtype=jnp.int32), mode="promise_in_bounds")
+    qidx = qidx.at[hole_q].set(nQ)
+
+    def body(s_i, acc4):
+        od = s_i * slab * cpad
+        oq = s_i * slab * cpad_q
+        dhs = jax.lax.dynamic_slice(dh, (od,), (slab * cpad,)).reshape(
+            slab, cpad)
+        dls = jax.lax.dynamic_slice(dl, (od,), (slab * cpad,)).reshape(
+            slab, cpad)
+        dvs = jax.lax.dynamic_slice(dlive, (od,), (slab * cpad,)).reshape(
+            slab, cpad)
+        qhs = jax.lax.dynamic_slice(qh, (oq,), (slab * cpad_q,)).reshape(
+            slab, cpad_q)
+        qls = jax.lax.dynamic_slice(ql, (oq,), (slab * cpad_q,)).reshape(
+            slab, cpad_q)
+        qfs = jax.lax.dynamic_slice(qfw, (oq,), (slab * cpad_q,)).reshape(
+            slab, cpad_q)
+        xh = qhs[:, :, None] ^ dhs[:, None, :]
+        xl = qls[:, :, None] ^ dls[:, None, :]
+        yh = (xh | (xh >> 1)) & jnp.uint32(0x55555555)
+        yl = (xl | (xl >> 1)) & jnp.uint32(0x55555555)
+        ham = (jax.lax.population_count(yh)
+               + jax.lax.population_count(yl)).astype(jnp.uint32)
+        ok = (ham == 1) & (dvs[:, None, :] != 0)
+        # the single differ symbol s: ctz of the one-hot y via
+        # popcount(y-1) (bit position), /2 → symbol within the word,
+        # +16 when it sits in the hi word
+        in_lo = yl != 0
+        ylo1 = jax.lax.population_count(yl - 1) >> 1
+        yhi1 = (jax.lax.population_count(yh - 1) >> 1) + jnp.uint32(16)
+        s_sym = jnp.where(in_lo, ylo1, yhi1).astype(jnp.uint32)
+        # word's 2-bit value t at symbol s (per-lane variable shift)
+        sh = (s_sym & jnp.uint32(15)) << 1      # clamped lane shifts
+        t = jnp.where(in_lo, dls[:, None, :] >> sh,
+                      dhs[:, None, :] >> sh) & jnp.uint32(3)
+        fwd = qfs[:, :, None] != 0
+        j = jnp.where(fwd, jnp.uint32(k - 1) - s_sym, s_sym) & jnp.uint32(31)
+        b = jnp.where(fwd, t, (t - jnp.uint32(2)) & jnp.uint32(3))
+        jbit = jnp.where(ok, jnp.uint32(1) << j, jnp.uint32(0))
+        # distinct symbols → distinct j bits per (query, plane) row, and
+        # the DB holds no duplicate words, so a sum over the bucket axis
+        # never carries — it equals the OR
+        planes = []
+        for bb in range(4):
+            planes.append(jnp.sum(
+                jnp.where(b == bb, jbit, jnp.uint32(0)), axis=2,
+                dtype=jnp.uint32))
+        vals = jnp.stack(planes, axis=-1).reshape(-1, 4)
+        qix = jax.lax.dynamic_slice(qidx, (oq,), (slab * cpad_q,))
+        return acc4.at[qix].add(vals, mode="promise_in_bounds")
+
+    return jax.lax.fori_loop(0, B // slab, body, acc4)
+
+
 def _slots_u8(keys: np.ndarray) -> np.ndarray:
     """Per-entry in-bucket slot (rank among equal keys), in ORIGINAL
     entry order, saturated to u8 — the only per-part array that crosses
@@ -351,6 +452,202 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
             sums[slow_idx] = _slow_sums_sorted_np(sq, uniq, occ, k, e)
 
     return np.minimum(sums, np.iinfo(np.uint32).max).astype(np.uint32)
+
+
+@jax.jit
+def _or_planes(a, b):
+    return a | b
+
+
+def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
+                          k: int, cpad: int = 64, cpad_q: int = 32,
+                          chunk_w: int = 12_000_000,
+                          chunk_q: int = 2_000_000,
+                          escalate: bool = True) -> np.ndarray:
+    """Neighbor-hit bitmap of the genome against the dictionary as a
+    HAMMING JOIN (VERDICT r4 Next #6) — same output as
+    ops.anchored.build_neighbor_bits: u8[G], bit b of byte e set iff
+    substituting base b at position e inside any valid window yields a
+    canonical k-mer in the dictionary.
+
+    The probe formulation pays 3k packed-table probes per genome base
+    (~180 random gathers); this joins the genome windows against the
+    dictionary at Hamming distance exactly 1 with dense VPU compares —
+    each H=1 pair identifies its substitution (position, base) from the
+    XOR, accumulated as per-query bit planes and smeared onto genome
+    positions. Exact: differential-tested against the probe builder.
+
+    Windows in overflowed buckets (repeat tracts) re-join once at
+    cpad 240, and the residual enumerates variants on the host against
+    the sorted dictionary. The genome streams through in gchunk-base
+    pieces with k-1 overlap, so host memory stays O(gchunk + slow set)
+    at any genome size."""
+    import jax.numpy as jnp
+
+    G = len(genome_codes)
+    nb = np.zeros(G, np.uint8)
+    if G < k or len(dict_kmers) == 0:
+        return nb
+    dict_kmers = np.asarray(dict_kmers, np.uint64)
+    rc_db = _rc_np(dict_kmers, k)
+    pal = rc_db == dict_kmers
+    w = np.concatenate([dict_kmers, rc_db[~pal]])
+    whi, wlo = codec.split_u64(w)
+
+    ranges = part_ranges(k)
+    n_bkts = [1 << (2 * (t - s)) for (s, t) in ranges]
+    part_keys_w = [_extract_part_np(whi, wlo, s, t) for (s, t) in ranges]
+    chunks = [slice(c0, min(c0 + chunk_w, len(w)))
+              for c0 in range(0, max(len(w), 1), chunk_w)]
+    # word-side overflow masks: unioned over chunks, once per cpad level
+    over_w_by_cp: dict = {}
+
+    def over_w(cp: int, i: int) -> np.ndarray:
+        if (cp, i) not in over_w_by_cp:
+            ov = np.zeros(n_bkts[i], bool)
+            for c in chunks:
+                hw = np.bincount(part_keys_w[i][c], minlength=n_bkts[i])
+                ov |= hw > cp
+            over_w_by_cp[(cp, i)] = ov
+        return over_w_by_cp[(cp, i)]
+
+    whi_d = jnp.asarray(whi)
+    wlo_d = jnp.asarray(wlo)
+    wslots: dict = {}
+
+    def run_pass(gsel, s_qhi, s_qlo, s_fwd, cp: int, cpq: int) -> np.ndarray:
+        """Join the windows (global positions gsel, canonical u32 pairs
+        s_qhi/s_qlo, strand flags s_fwd); resolved windows' bits OR into
+        nb. Returns the boolean mask of still-unresolved entries."""
+        part_keys_q = [_extract_part_np(s_qhi, s_qlo, s, t)
+                       for (s, t) in ranges]
+        slow = np.zeros(len(gsel), bool)
+        for i in range(3):
+            slow |= over_w(cp, i)[part_keys_q[i]]
+        fast_pos = np.flatnonzero(~slow)
+        for qc0 in range(0, len(fast_pos), chunk_q):
+            qpos = fast_pos[qc0: qc0 + chunk_q]
+            chunk_slow = np.zeros(len(qpos), bool)
+            for i in range(3):
+                hq = np.bincount(part_keys_q[i][qpos], minlength=n_bkts[i])
+                chunk_slow |= hq[part_keys_q[i][qpos]] > cpq
+            slow[qpos[chunk_slow]] = True
+            qpos = qpos[~chunk_slow]
+            if len(qpos) == 0:
+                continue
+            # pad the query side to a power-of-two lane count so the
+            # join jit compiles O(log) distinct shapes, not one per
+            # data-dependent chunk length; pad lanes carry slot 255 ->
+            # layout hole -> no contribution
+            n_q = len(qpos)
+            npad = 1 << max(10, (n_q - 1).bit_length())
+            def _padq(a, fill=0, dtype=None):
+                out = np.full(npad, fill, dtype or a.dtype)
+                out[:n_q] = a
+                return jnp.asarray(out)
+            fqh_d = _padq(s_qhi[qpos])
+            fql_d = _padq(s_qlo[qpos])
+            ffw_d = _padq(s_fwd[qpos], False)
+            acc_or = jnp.zeros((npad, 4), jnp.uint32)
+            for i, (s, t) in enumerate(ranges):
+                B = n_bkts[i]
+                slab = max(1, min(B, (1 << 22) // (cp * cpq)))
+                while B % slab:
+                    slab >>= 1
+                qslot_d = _padq(_slots_u8(part_keys_q[i][qpos]), 255)
+                for ci, c in enumerate(chunks):
+                    if (cp, i, ci) not in wslots:
+                        wslots[(cp, i, ci)] = _slots_u8(part_keys_w[i][c])
+                    fresh = _part_chunk_join_bits(
+                        whi_d[c], wlo_d[c], jnp.asarray(wslots[(cp, i, ci)]),
+                        fqh_d, fql_d, ffw_d, qslot_d,
+                        jnp.zeros((npad + 1, 4), jnp.uint32),
+                        B=B, cpad=cp, cpad_q=cpq, slab=slab, k=k,
+                        lo_bit=2 * s, width=2 * (t - s))
+                    acc_or = _or_planes(acc_or, fresh[:-1])
+            planes = np.asarray(jax.device_get(acc_or))[:n_q]
+            _smear_planes(nb, gsel[qpos], planes, k)
+            del fqh_d, fql_d, ffw_d, acc_or
+        return slow
+
+    gchunk = 4 * chunk_q
+    slow_parts = []                       # (gsel, fwd, rc) of leftovers
+    for g0 in range(0, G - k + 1, gchunk):
+        seg = genome_codes[g0: g0 + gchunk + k - 1]
+        fwd_q, rc_q, valid = codec.sliding_fwd_rc_np(seg, k)
+        vidx = np.flatnonzero(valid)
+        if len(vidx) == 0:
+            continue
+        fwd_q, rc_q = fwd_q[vidx], rc_q[vidx]
+        canon = np.minimum(fwd_q, rc_q)
+        s_qhi, s_qlo = codec.split_u64(canon)
+        gsel = (g0 + vidx).astype(np.int64)
+        slow = run_pass(gsel, s_qhi, s_qlo, fwd_q <= rc_q, cpad, cpad_q)
+        if slow.any():
+            slow_parts.append((gsel[slow], fwd_q[slow], rc_q[slow]))
+
+    if slow_parts:
+        gsel = np.concatenate([p[0] for p in slow_parts])
+        fwd_q = np.concatenate([p[1] for p in slow_parts])
+        rc_q = np.concatenate([p[2] for p in slow_parts])
+        still = np.ones(len(gsel), bool)
+        if escalate and cpad < 240:
+            canon = np.minimum(fwd_q, rc_q)
+            s_qhi, s_qlo = codec.split_u64(canon)
+            still = run_pass(gsel, s_qhi, s_qlo, fwd_q <= rc_q, 240, 240)
+        if still.any():
+            _slow_bits_np(nb, gsel[still], fwd_q[still], rc_q[still],
+                          np.sort(dict_kmers), k)
+    return nb
+
+def _smear_planes(nb: np.ndarray, qsel: np.ndarray, planes: np.ndarray,
+                  k: int) -> None:
+    """OR per-window bit planes (u32[n,4], bit j of plane b = hit at
+    window offset j, base b) onto genome positions: nb[o+j] |= 1<<b."""
+    hot = np.flatnonzero(planes.any(axis=1))    # neighbor hits are rare
+    if len(hot) == 0:
+        return
+    pl = planes[hot]
+    osel = qsel[hot]
+    for j in range(k):
+        bits = ((pl >> np.uint32(j)) & 1).astype(np.uint8)
+        byte = (bits[:, 0] | (bits[:, 1] << 1) | (bits[:, 2] << 2)
+                | (bits[:, 3] << 3))
+        nz = np.flatnonzero(byte)
+        if len(nz):
+            np.bitwise_or.at(nb, osel[nz] + j, byte[nz])
+
+
+def _slow_bits_np(nb: np.ndarray, o_idx: np.ndarray, fwd: np.ndarray,
+                  rc: np.ndarray, sorted_dict: np.ndarray, k: int,
+                  batch: int = 4096) -> None:
+    """Host fallback for overflow windows: enumerate all 3k single
+    substitutions, canonicalize, membership by searchsorted into the
+    sorted dictionary, OR hits into nb. Same enumeration semantics as
+    the probe builder (ops.anchored._neighbor_bits_kernel)."""
+    for off in range(0, len(o_idx), batch):
+        sl = slice(off, off + batch)
+        f = fwd[sl]
+        r = rc[sl]
+        o = o_idx[sl]
+        for j in range(k):
+            sh_f = np.uint64(2 * (k - 1 - j))
+            sh_r = np.uint64(2 * j)
+            orig = (f >> sh_f) & np.uint64(3)
+            for d in (1, 2, 3):
+                b = (orig + np.uint64(d)) & np.uint64(3)
+                x = orig ^ b
+                mf = f ^ (x << sh_f)
+                mr = r ^ (x << sh_r)
+                canon = np.minimum(mf, mr)
+                idx = np.searchsorted(sorted_dict, canon)
+                inb = idx < len(sorted_dict)
+                idc = np.minimum(idx, len(sorted_dict) - 1)
+                hit = inb & (sorted_dict[idc] == canon)
+                if hit.any():
+                    np.bitwise_or.at(
+                        nb, o[hit] + j,
+                        (np.uint8(1) << b[hit].astype(np.uint8)))
 
 
 def _slow_sums_sorted_np(queries: np.ndarray, uniq_sorted: np.ndarray,

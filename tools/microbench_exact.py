@@ -164,16 +164,19 @@ def probes(lat, rng):
 
 
 def sortjoin(lat, rng):
-    """Measured finding (TPU v5e via tunnel): the 3-operand 2-key sort
-    COMPILES in ~109 s at 1.3 M lanes and runs at ~97 M lanes/s, but
-    the compile time explodes super-linearly with lane count — a
-    5.2 M-lane shape did not finish compiling in 13+ minutes (this is
-    the round-3 "stall": XLA sort compilation, not execution). Configs
-    here stay under the blowup; the per-kmer rate at q=4n extrapolates
-    to ~78 M kmers/s — below the mono engine's measured 88.5 M — so
-    the sort-join engine LOSES on both counts and stays non-default."""
+    """A/B sweep for DepthCounter layout="auto" (VERDICT r4 Next #3).
+
+    The 3-operand 2-key sort COMPILES in ~109 s at 1.3 M lanes and its
+    compile time explodes super-linearly with lane count (5.2 M lanes
+    did not finish in 13+ min — the round-3 "stall": XLA sort
+    compilation, not execution). The production engine
+    (ops.sortjoin.SortJoinEngine) therefore sorts FIXED 2^20-lane query
+    tiles compiled once; this sweep measures the per-kmer rate as a
+    function of dictionary size n (the dict lanes ride every tile, so
+    rate ~ lane_rate * q/(n+q)) — the numbers behind
+    AUTO_SORTJOIN_MAX_N in pipelines/count.py."""
     from quickmer2_tpu.ops.sortjoin import sortjoin_count_batch
-    for logn, logq in ((18, 20), (18, 21)):
+    for logn, logq in ((14, 20), (17, 20), (19, 20), (18, 20)):
         n, q = 1 << logn, 1 << logq
         dk = np.sort(rng.choice(np.arange(1, 1 << 60, dtype=np.uint64),
                                 size=n, replace=False)) \

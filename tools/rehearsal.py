@@ -6,10 +6,10 @@ Usage: python tools/rehearsal.py [n_mbases] [coverage]
        (defaults 8 Mb, 25x; the chr21-scale run is n_mbases=40)
        python tools/rehearsal.py hifi [n_mbases] [coverage]
        (BASELINE config 5: 15-20 kb HiFi-shaped reads at 0.3%/bp against
-        a sparse-thinned dictionary — reads exceed the anchored 1024
-        row-width cap, so the ENTIRE stream exercises the oversize-read
-        overflow routing at volume; reference long-read contract:
-        /root/reference/README.md:126-130)
+        a sparse-thinned dictionary — every read exceeds the anchored
+        row width and is sliced into k-1-overlap segments that ride the
+        anchored fast path (ops.anchored.rows_from_flat_codes);
+        reference long-read contract: /root/reference/README.md:126-130)
 
 Reports one JSON object of structured metrics: phase wall times
 (index_build_s separated, with a GRCh38 extrapolation), peak host RSS,
@@ -161,11 +161,13 @@ def main():
         f.write("chrZ\t0\t100\n")
 
     t1 = time.time()
+    search_stats = {}
     search_pipe.run_search(
         fa, SearchConfig(kmer_size=30, hash_size=1 << 20, edit_distance=2,
                          edit_depth_threshold=100, window_size=1000,
-                         control_bed=ctrl), verbose=True)
+                         control_bed=ctrl), verbose=True, stats=search_stats)
     out["search_s"] = round(time.time() - t1, 1)
+    out["search_stats"] = search_stats
     from quickmer2_tpu.dictionary import Dictionary
     dic = Dictionary.from_qm(fa + ".qm")
     out["n_kmers"] = dic.n_kmers
@@ -175,8 +177,8 @@ def main():
     if hifi:
         # BASELINE config 5: thin the dictionary to >=1 k-mer / 100 bp
         # (regenerates .bed/.qgc against the thinned set) and stream
-        # 15-20 kb reads — every read exceeds the anchored 1024 row cap
-        # and routes through the oversize-read overflow path
+        # 15-20 kb reads — each is sliced into k-1-overlap row segments
+        # and rides the anchored fast path (VERDICT r4 Missing #2)
         from quickmer2_tpu.pipelines.sparse import run_sparse
         t_sp = time.time()
         sdic = run_sparse(fa, 100, window_size=100, control_bed=ctrl,
@@ -222,16 +224,21 @@ def main():
     out["count_stats"] = {k: v for k, v in stats.items()
                           if k in ("n_reads", "n_spilled", "n_spilled2",
                                    "mean_depth", "phases", "read_len",
-                                   "overflow_windows")}
-    anchored_reads = stats.get("n_reads", 0)
-    if anchored_reads:
-        out["spill_rate"] = round(stats["n_spilled"] / anchored_reads, 5)
-        out["tier2_exact_rate"] = round(stats["n_spilled2"] / anchored_reads, 5)
-    out["overflow_read_fraction"] = round(
-        1.0 - anchored_reads / out["n_reads"], 5)
+                                   "overflow_windows", "n_long_reads",
+                                   "n_segments")
+                          or k.startswith(("phase_", "overflow_phase_"))}
+    # n_reads counts anchored ROWS (long reads ride as k-1-overlap
+    # segments, so rows > FASTQ records); rates are per row
+    anchored_rows = stats.get("n_reads", 0)
+    if anchored_rows:
+        out["spill_rate"] = round(stats["n_spilled"] / anchored_rows, 5)
+        out["tier2_exact_rate"] = round(stats["n_spilled2"] / anchored_rows, 5)
+    # exact window count: every read of length L yields L-k+1 windows
+    windows = (out.get("read_bases", out["n_reads"] * int(mean_read_len))
+               - out["n_reads"] * 29)
+    out["overflow_window_fraction"] = round(
+        stats.get("overflow_windows", 0) / max(windows, 1), 5)
     wall = stats["phases"]["stream_s"] + stats["phases"]["finish_s"]
-    windows = (stats.get("overflow_windows", 0)
-               + anchored_reads * (int(mean_read_len) - 29))
     out["count_kmers_per_s"] = round(windows / wall)
 
     # neighbor-bit density of the .qai index
