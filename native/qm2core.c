@@ -40,6 +40,41 @@ static inline uint64_t probe_slot(const uint64_t *table, uint64_t hsize,
     return idx;
 }
 
+
+/* Sliding canonical k-mers of a code stream (host bulk kmerize).
+ * codes: u8[n_codes] (0..3 bases, >=4 separator); writes, per window i
+ * in [0, n_codes-k+1): canon[i] = min(fwd, rc) (exact rc for all k —
+ * unlike the reference's fixed <<60 shift, QuicKmer.c:43-64/SURVEY Q1),
+ * flags[i] bit0 = window valid (no separator), bit1 = canonical is the
+ * forward strand (fwd <= rc). ~10x the numpy rolling loop. */
+void qm2_sliding_canon(const uint8_t *codes, int64_t n_codes, int32_t k,
+                       uint64_t *canon, uint8_t *flags) {
+    int64_t n = n_codes - k + 1;
+    if (n <= 0) return;
+    uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    int top = 2 * (k - 1);
+    uint64_t fwd = 0, rc = 0;
+    int64_t bad = 0;               /* windows until last SEP clears */
+    for (int64_t i = 0; i < n_codes; i++) {
+        uint64_t c = codes[i];
+        if (c >= 4) {
+            bad = k;
+            c = 0;
+        } else if (bad > 0) {
+            bad--;
+        }
+        fwd = ((fwd << 2) | c) & mask;
+        rc = (rc >> 2) | (((c - 2) & 3ULL) << top);
+        int64_t w = i - k + 1;
+        if (w >= 0) {
+            uint64_t cn = fwd <= rc ? fwd : rc;
+            canon[w] = cn;
+            flags[w] = (uint8_t)(((bad == 0) ? 1 : 0)
+                                 | ((fwd <= rc) ? 2 : 0));
+        }
+    }
+}
+
 /* Walk the circular chain from `first`, writing slot order to out.
  * Stops after cap entries or when the walk returns to first.
  * Returns the number of slots written. (Parity: QuicKmer.c:494-516.) */

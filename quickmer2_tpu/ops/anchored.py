@@ -224,7 +224,10 @@ def _genome_stream_and_positions(dic, fasta_path: str):
     n = dic.n_kmers
     for name, seq in fasta_io.iter_fasta(fasta_path):
         codes = codec.encode_bases(np.frombuffer(seq, dtype=np.uint8))
-        canon, valid = codec.sliding_kmers_np(codes, k)
+        if native.available():
+            canon, valid, _ = native.sliding_canon(codes, k)
+        else:
+            canon, valid = codec.sliding_kmers_np(codes, k)
         valid = valid & (canon != 0)
         if native.available():
             slots, found = native.lookup_keys(table, canon)

@@ -79,6 +79,21 @@ def _part_masks(k: int):
     return masks
 
 
+def _part_key_device_traced(hi, lo, lo_bit, *, width: int):
+    """_part_key_device with a TRACED lo_bit (u32 scalar): one compiled
+    kernel serves all three parts (k=30 parts share the same width), so
+    a cold run pays one jit compile instead of three — compiles over
+    the remote-tunnel backend cost ~25s each (r5 measurement)."""
+    lb = jnp.uint32(lo_bit)
+    lbc = lb & jnp.uint32(31)
+    lo_part = (lo >> lbc) | jnp.where(lbc == 0, jnp.uint32(0),
+                                      hi << ((jnp.uint32(32) - lbc)
+                                             & jnp.uint32(31)))
+    hi_part = hi >> ((lb - jnp.uint32(32)) & jnp.uint32(31))
+    v = jnp.where(lb < 32, lo_part, hi_part)
+    return v & jnp.uint32((1 << width) - 1)
+
+
 def _part_key_device(hi, lo, *, lo_bit: int, width: int):
     """Bits [lo_bit, lo_bit+width) of the (hi,lo) u32-pair code as u32
     (static shifts — lo_bit/width are trace-time Python ints)."""
@@ -93,12 +108,12 @@ def _part_key_device(hi, lo, *, lo_bit: int, width: int):
 
 @functools.partial(
     jax.jit, donate_argnums=(7,),
-    static_argnames=("B", "cpad", "cpad_q", "slab", "e", "lo_bit", "width",
+    static_argnames=("B", "cpad", "cpad_q", "slab", "e", "width",
                      "mask_hi0", "mask_lo0", "mask_hi1", "mask_lo1",
                      "mask_hi2", "mask_lo2"))
-def _part_chunk_join(whi, wlo, wocc, wslot, qhi, qlo, qslot, scaled, *,
-                     B: int, cpad: int, cpad_q: int, slab: int, e: int,
-                     lo_bit: int, width: int, mask_hi0, mask_lo0,
+def _part_chunk_join(whi, wlo, wocc, wslot, qhi, qlo, qslot, scaled,
+                     lo_bit, *, B: int, cpad: int, cpad_q: int, slab: int,
+                     e: int, width: int, mask_hi0, mask_lo0,
                      mask_hi1, mask_lo1, mask_hi2, mask_lo2):
     """One (part, DB-chunk) join, fully device-resident: scatter the
     chunk's words and the queries into padded bucket layouts (keys
@@ -111,8 +126,10 @@ def _part_chunk_join(whi, wlo, wocc, wslot, qhi, qlo, qslot, scaled, *,
     nQ = qhi.shape[0]
     hole_d = B * cpad
     hole_q = B * cpad_q
-    keyw = _part_key_device(whi, wlo, lo_bit=lo_bit, width=width).astype(jnp.int32)
-    keyq = _part_key_device(qhi, qlo, lo_bit=lo_bit, width=width).astype(jnp.int32)
+    keyw = _part_key_device_traced(whi, wlo, lo_bit,
+                                   width=width).astype(jnp.int32)
+    keyq = _part_key_device_traced(qhi, qlo, lo_bit,
+                                   width=width).astype(jnp.int32)
     wf = jnp.where(wslot < cpad, keyw * cpad + wslot.astype(jnp.int32), hole_d)
     qf = jnp.where(qslot < cpad_q, keyq * cpad_q + qslot.astype(jnp.int32),
                    hole_q)
@@ -169,10 +186,10 @@ def _part_chunk_join(whi, wlo, wocc, wslot, qhi, qlo, qslot, scaled, *,
 
 @functools.partial(
     jax.jit, donate_argnums=(7,),
-    static_argnames=("B", "cpad", "cpad_q", "slab", "k", "lo_bit", "width"))
-def _part_chunk_join_bits(whi, wlo, wslot, qhi, qlo, qfwd, qslot, acc4, *,
-                          B: int, cpad: int, cpad_q: int, slab: int, k: int,
-                          lo_bit: int, width: int):
+    static_argnames=("B", "cpad", "cpad_q", "slab", "k", "width"))
+def _part_chunk_join_bits(whi, wlo, wslot, qhi, qlo, qfwd, qslot, acc4,
+                          lo_bit, *, B: int, cpad: int, cpad_q: int,
+                          slab: int, k: int, width: int):
     """One (part, DB-chunk) join emitting NEIGHBOR BITS instead of sums
     (the .qai bitmap formulation — VERDICT r4 Next #6).
 
@@ -192,8 +209,10 @@ def _part_chunk_join_bits(whi, wlo, wslot, qhi, qlo, qfwd, qslot, acc4, *,
     nQ = qhi.shape[0]
     hole_d = B * cpad
     hole_q = B * cpad_q
-    keyw = _part_key_device(whi, wlo, lo_bit=lo_bit, width=width).astype(jnp.int32)
-    keyq = _part_key_device(qhi, qlo, lo_bit=lo_bit, width=width).astype(jnp.int32)
+    keyw = _part_key_device_traced(whi, wlo, lo_bit,
+                                   width=width).astype(jnp.int32)
+    keyq = _part_key_device_traced(qhi, qlo, lo_bit,
+                                   width=width).astype(jnp.int32)
     wf = jnp.where(wslot < cpad, keyw * cpad + wslot.astype(jnp.int32), hole_d)
     qf = jnp.where(qslot < cpad_q, keyq * cpad_q + qslot.astype(jnp.int32),
                    hole_q)
@@ -379,9 +398,23 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
             qsel = qsel[~chunk_slow]
             if len(qsel) == 0:
                 continue
-            fqh_d = jnp.asarray(qhi[qsel])
-            fql_d = jnp.asarray(qlo[qsel])
-            scaled_d = jnp.zeros(len(qsel) + 1, jnp.uint32)
+            # bounded pad shapes: full chunks pad to chunk_q (one jit
+            # compile per cpad level, not one per data-dependent chunk
+            # length — tunnel compiles cost ~25s each); small runs and
+            # tails pad to a power of two so tiny inputs stay tiny.
+            # Pad lanes carry slot 255 -> layout hole -> contribute 0.
+            n_q = len(qsel)
+            npad = (chunk_q if n_q > chunk_q // 2
+                    else 1 << max(14, (n_q - 1).bit_length()))
+
+            def _padq(a, fill=0):
+                out = np.full(npad, fill, a.dtype)
+                out[:n_q] = a
+                return jnp.asarray(out)
+
+            fqh_d = _padq(qhi[qsel])
+            fql_d = _padq(qlo[qsel])
+            scaled_d = jnp.zeros(npad + 1, jnp.uint32)
             for i, (s, t) in enumerate(ranges):
                 B = n_bkts[i]
                 cq = min(cpad_q, cpad)
@@ -389,7 +422,8 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
                     1, min(B, (1 << 22) // (cpad * cq)))
                 while B % slab:
                     slab >>= 1
-                qslot_d = jnp.asarray(_slots_u8(part_keys_q[i][qsel]))
+                qslot_d = _padq(_slots_u8(part_keys_q[i][qsel]),
+                                fill=np.uint8(255))
                 for ci, c in enumerate(chunks):
                     if (i, ci) not in wslots:
                         wslots[(i, ci)] = _slots_u8(part_keys_w[i][c])
@@ -397,10 +431,11 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
                         whi_d[c], wlo_d[c], wocc_d[c],
                         jnp.asarray(wslots[(i, ci)]),
                         fqh_d, fql_d, qslot_d, scaled_d,
+                        jnp.uint32(2 * s),
                         B=B, cpad=cpad, cpad_q=cq, slab=slab, e=e,
-                        lo_bit=2 * s, width=2 * (t - s), **mask_kw)
+                        width=2 * (t - s), **mask_kw)
             scaled = np.asarray(jax.device_get(scaled_d)).astype(np.uint64)
-            part_sums, rem = divmod(scaled[:-1], 6)
+            part_sums, rem = divmod(scaled[:n_q], 6)
             assert not rem.any(), "hamming join scale invariant violated"
             sums[qsel] = part_sums
             del fqh_d, fql_d, scaled_d
@@ -463,7 +498,8 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
                           k: int, cpad: int = 64, cpad_q: int = 32,
                           chunk_w: int = 12_000_000,
                           chunk_q: int = 2_000_000,
-                          escalate: bool = True) -> np.ndarray:
+                          escalate: bool = True,
+                          escalate_min: int = 2_000_000) -> np.ndarray:
     """Neighbor-hit bitmap of the genome against the dictionary as a
     HAMMING JOIN (VERDICT r4 Next #6) — same output as
     ops.anchored.build_neighbor_bits: u8[G], bit b of byte e set iff
@@ -477,11 +513,15 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
     XOR, accumulated as per-query bit planes and smeared onto genome
     positions. Exact: differential-tested against the probe builder.
 
-    Windows in overflowed buckets (repeat tracts) re-join once at
-    cpad 240, and the residual enumerates variants on the host against
-    the sorted dictionary. The genome streams through in gchunk-base
-    pieces with k-1 overlap, so host memory stays O(gchunk + slow set)
-    at any genome size."""
+    Transfer-lean by construction (the remote-tunnel harness measures
+    H2D at ~9 MB/s): queries ride as FIXED contiguous window tiles —
+    the genome codes cross at 1 B/base and the canonical pairs/strand
+    flags are recomputed on device (one small jit); only the 1-byte
+    in-bucket slots (3 parts) follow. Host kmerization uses the native
+    C qm2_sliding_canon (~100x numpy). Windows in overflowed buckets
+    (repeat tracts) re-join once at cpad 240 when the slow set is
+    large, and the residual enumerates variants on the host against
+    the sorted dictionary."""
     import jax.numpy as jnp
 
     G = len(genome_codes)
@@ -499,7 +539,6 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
     part_keys_w = [_extract_part_np(whi, wlo, s, t) for (s, t) in ranges]
     chunks = [slice(c0, min(c0 + chunk_w, len(w)))
               for c0 in range(0, max(len(w), 1), chunk_w)]
-    # word-side overflow masks: unioned over chunks, once per cpad level
     over_w_by_cp: dict = {}
 
     def over_w(cp: int, i: int) -> np.ndarray:
@@ -515,10 +554,79 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
     wlo_d = jnp.asarray(wlo)
     wslots: dict = {}
 
-    def run_pass(gsel, s_qhi, s_qlo, s_fwd, cp: int, cpq: int) -> np.ndarray:
-        """Join the windows (global positions gsel, canonical u32 pairs
-        s_qhi/s_qlo, strand flags s_fwd); resolved windows' bits OR into
-        nb. Returns the boolean mask of still-unresolved entries."""
+    def _host_canon(codes):
+        from quickmer2_tpu.utils import native
+        if native.available():
+            return native.sliding_canon(codes, k)
+        fwd, rc, valid = codec.sliding_fwd_rc_np(codes, k)
+        return np.minimum(fwd, rc), valid, fwd <= rc
+
+    def join_tiles(cp: int, cpq: int):
+        """Main pass: fixed contiguous window tiles of chunk_q; codes
+        cross the link at 1 B/base, canonical pairs + strand flags are
+        derived on device. Returns (gsel, canon, is_fwd) of windows
+        left to the next stage."""
+        slow_parts = []
+        slab = max(1, min(min(n_bkts), (1 << 22) // (cp * cpq)))
+        for t0 in range(0, G - k + 1, chunk_q):
+            seg = genome_codes[t0: t0 + chunk_q + k - 1]
+            pad = chunk_q + k - 1 - len(seg)
+            if pad:
+                seg = np.concatenate(
+                    [seg, np.full(pad, codec.SEP, np.uint8)])
+            canon, valid, is_fwd = _host_canon(seg)
+            chi, clo = codec.split_u64(canon)
+            part_keys_q = [_extract_part_np(chi, clo, s, t)
+                           for (s, t) in ranges]
+            slow = np.zeros(chunk_q, bool)
+            for i in range(3):
+                slow |= over_w(cp, i)[part_keys_q[i]]
+            active = valid & ~slow
+            # per-tile query bucket overflow among ACTIVE windows
+            for i in range(3):
+                hq = np.bincount(part_keys_q[i][active],
+                                 minlength=n_bkts[i])
+                over_q = hq[part_keys_q[i]] > cpq
+                slow |= over_q & active
+                active &= ~over_q
+            seg_d = jnp.asarray(seg)
+            chi_d, clo_d, fwd_d = _device_kmerize(seg_d, k=k)
+            acc_or = jnp.zeros((chunk_q, 4), jnp.uint32)
+            for i, (s, t) in enumerate(ranges):
+                B = n_bkts[i]
+                sl = slab
+                while B % sl:
+                    sl >>= 1
+                qslot = np.full(chunk_q, 255, np.uint8)
+                qslot[active] = _slots_u8(part_keys_q[i][active])
+                qslot_d = jnp.asarray(qslot)
+                for ci, c in enumerate(chunks):
+                    if (cp, i, ci) not in wslots:
+                        wslots[(cp, i, ci)] = _slots_u8(part_keys_w[i][c])
+                    fresh = _part_chunk_join_bits(
+                        whi_d[c], wlo_d[c], jnp.asarray(wslots[(cp, i, ci)]),
+                        chi_d, clo_d, fwd_d, qslot_d,
+                        jnp.zeros((chunk_q + 1, 4), jnp.uint32),
+                        jnp.uint32(2 * s),
+                        B=B, cpad=cp, cpad_q=cpq, slab=sl, k=k,
+                        width=2 * (t - s))
+                    acc_or = _or_planes(acc_or, fresh[:-1])
+            planes = np.asarray(jax.device_get(acc_or))
+            gsel_loc = np.flatnonzero(active).astype(np.int64)
+            _smear_planes(nb, t0 + gsel_loc, planes[gsel_loc], k)
+            leftover = valid & slow
+            if leftover.any():
+                li = np.flatnonzero(leftover)
+                slow_parts.append((t0 + li.astype(np.int64), canon[li],
+                                   is_fwd[li]))
+            del seg_d, chi_d, clo_d, fwd_d, acc_or
+        return slow_parts
+
+    def run_gathered(gsel, canon, is_fwd, cp: int, cpq: int) -> np.ndarray:
+        """Escalation pass over a GATHERED (non-contiguous) window set:
+        canonical pairs upload directly. Returns the still-unresolved
+        mask; resolved windows' bits OR into nb."""
+        s_qhi, s_qlo = codec.split_u64(canon)
         part_keys_q = [_extract_part_np(s_qhi, s_qlo, s, t)
                        for (s, t) in ranges]
         slow = np.zeros(len(gsel), bool)
@@ -535,26 +643,26 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
             qpos = qpos[~chunk_slow]
             if len(qpos) == 0:
                 continue
-            # pad the query side to a power-of-two lane count so the
-            # join jit compiles O(log) distinct shapes, not one per
-            # data-dependent chunk length; pad lanes carry slot 255 ->
-            # layout hole -> no contribution
             n_q = len(qpos)
-            npad = 1 << max(10, (n_q - 1).bit_length())
-            def _padq(a, fill=0, dtype=None):
-                out = np.full(npad, fill, dtype or a.dtype)
+            npad = (chunk_q if n_q > chunk_q // 2
+                    else 1 << max(14, (n_q - 1).bit_length()))
+
+            def _padq(a, fill=0):
+                out = np.full(npad, fill, a.dtype)
                 out[:n_q] = a
                 return jnp.asarray(out)
+
             fqh_d = _padq(s_qhi[qpos])
             fql_d = _padq(s_qlo[qpos])
-            ffw_d = _padq(s_fwd[qpos], False)
+            ffw_d = _padq(is_fwd[qpos])
             acc_or = jnp.zeros((npad, 4), jnp.uint32)
             for i, (s, t) in enumerate(ranges):
                 B = n_bkts[i]
-                slab = max(1, min(B, (1 << 22) // (cp * cpq)))
-                while B % slab:
-                    slab >>= 1
-                qslot_d = _padq(_slots_u8(part_keys_q[i][qpos]), 255)
+                sl = max(1, min(B, (1 << 22) // (cp * cpq)))
+                while B % sl:
+                    sl >>= 1
+                qslot_d = _padq(_slots_u8(part_keys_q[i][qpos]),
+                                fill=np.uint8(255))
                 for ci, c in enumerate(chunks):
                     if (cp, i, ci) not in wslots:
                         wslots[(cp, i, ci)] = _slots_u8(part_keys_w[i][c])
@@ -562,43 +670,46 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
                         whi_d[c], wlo_d[c], jnp.asarray(wslots[(cp, i, ci)]),
                         fqh_d, fql_d, ffw_d, qslot_d,
                         jnp.zeros((npad + 1, 4), jnp.uint32),
-                        B=B, cpad=cp, cpad_q=cpq, slab=slab, k=k,
-                        lo_bit=2 * s, width=2 * (t - s))
+                        jnp.uint32(2 * s),
+                        B=B, cpad=cp, cpad_q=cpq, slab=sl, k=k,
+                        width=2 * (t - s))
                     acc_or = _or_planes(acc_or, fresh[:-1])
             planes = np.asarray(jax.device_get(acc_or))[:n_q]
             _smear_planes(nb, gsel[qpos], planes, k)
             del fqh_d, fql_d, ffw_d, acc_or
         return slow
 
-    gchunk = 4 * chunk_q
-    slow_parts = []                       # (gsel, fwd, rc) of leftovers
-    for g0 in range(0, G - k + 1, gchunk):
-        seg = genome_codes[g0: g0 + gchunk + k - 1]
-        fwd_q, rc_q, valid = codec.sliding_fwd_rc_np(seg, k)
-        vidx = np.flatnonzero(valid)
-        if len(vidx) == 0:
-            continue
-        fwd_q, rc_q = fwd_q[vidx], rc_q[vidx]
-        canon = np.minimum(fwd_q, rc_q)
-        s_qhi, s_qlo = codec.split_u64(canon)
-        gsel = (g0 + vidx).astype(np.int64)
-        slow = run_pass(gsel, s_qhi, s_qlo, fwd_q <= rc_q, cpad, cpad_q)
-        if slow.any():
-            slow_parts.append((gsel[slow], fwd_q[slow], rc_q[slow]))
-
+    slow_parts = join_tiles(cpad, cpad_q)
     if slow_parts:
         gsel = np.concatenate([p[0] for p in slow_parts])
-        fwd_q = np.concatenate([p[1] for p in slow_parts])
-        rc_q = np.concatenate([p[2] for p in slow_parts])
+        canon = np.concatenate([p[1] for p in slow_parts])
+        is_fwd = np.concatenate([p[2] for p in slow_parts])
         still = np.ones(len(gsel), bool)
-        if escalate and cpad < 240:
-            canon = np.minimum(fwd_q, rc_q)
-            s_qhi, s_qlo = codec.split_u64(canon)
-            still = run_pass(gsel, s_qhi, s_qlo, fwd_q <= rc_q, 240, 240)
+        # the 240-wide re-join costs its own jit compiles and large
+        # layouts: only worth it when the host enumeration of the slow
+        # set would be slower (~90 searchsorted probes per window)
+        if escalate and cpad < 240 and len(gsel) > escalate_min:
+            still = run_gathered(gsel, canon, is_fwd, 240, 240)
         if still.any():
-            _slow_bits_np(nb, gsel[still], fwd_q[still], rc_q[still],
+            other = _rc_np(canon[still], k)
+            fwd_q = np.where(is_fwd[still], canon[still], other)
+            rc_q = np.where(is_fwd[still], other, canon[still])
+            _slow_bits_np(nb, gsel[still], fwd_q, rc_q,
                           np.sort(dict_kmers), k)
     return nb
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _device_kmerize(codes, *, k: int):
+    """chi/clo/is_fwd of every window of a code tile, on device — the
+    join consumes these without the 8 B/window canonical-pair upload."""
+    fhi, flo, rhi, rlo, _valid = codec.sliding_fwd_rc(codes, k)
+    fwd_less = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    chi = jnp.where(fwd_less, fhi, rhi)
+    clo = jnp.where(fwd_less, flo, rlo)
+    return chi, clo, fwd_less
+
+
 
 def _smear_planes(nb: np.ndarray, qsel: np.ndarray, planes: np.ndarray,
                   k: int) -> None:

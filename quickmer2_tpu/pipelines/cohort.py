@@ -59,6 +59,8 @@ def run_cohort(qm_path: str, samples: list[tuple[str, str]],
 
     out_stats = []
     for sample_path, out_prefix in samples:
+        import time
+        t_sample = time.time()
         sc = StreamCounter(dictionary, mode=mode, index=index,
                            batch_bases=batch_bases, read_len=read_len,
                            data_devices=data_devices,
@@ -84,6 +86,7 @@ def run_cohort(qm_path: str, samples: list[tuple[str, str]],
             res = run_est(bed_prefix, out_prefix, out_prefix + cn_suffix,
                           cfg=est_cfg, verbose=verbose)
             stats["n_windows"] = res["n_windows"]
+        stats["elapsed_s"] = round(time.time() - t_sample, 3)
         out_stats.append(stats)
         if verbose:
             print(f"cohort: {sample_path} done "

@@ -42,9 +42,13 @@ from quickmer2_tpu.utils import native
 
 def _chrom_kmers(seq: bytes, k: int):
     """Canonical codes per position (host u64) with validity; k-mer
-    code 0 excluded (QuicKmer.c:864 `if (kmer && ...)`)."""
+    code 0 excluded (QuicKmer.c:864 `if (kmer && ...)`). Native C
+    kmerize when available (~100x the numpy rolling loop)."""
     codes = codec.encode_bases(np.frombuffer(seq, dtype=np.uint8))
-    canon, valid = codec.sliding_kmers_np(codes, k)
+    if native.available():
+        canon, valid, _ = native.sliding_canon(codes, k)
+    else:
+        canon, valid = codec.sliding_kmers_np(codes, k)
     return canon, valid & (canon != 0)
 
 

@@ -116,6 +116,21 @@ def count_occr(table: np.ndarray, keys: np.ndarray, occr: np.ndarray) -> None:
                        _u64p(keys), ctypes.c_int64(len(keys)), _u8p(occr))
 
 
+def sliding_canon(codes: np.ndarray, k: int):
+    """Host bulk kmerize via C (qm2_sliding_canon): returns
+    (canon u64[N], valid bool[N], is_fwd bool[N]), N = len(codes)-k+1 —
+    same values as codec.sliding_kmers_np + an is-forward-strand flag."""
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n = len(codes) - k + 1
+    canon = np.empty(max(n, 0), np.uint64)
+    flags = np.empty(max(n, 0), np.uint8)
+    if n > 0:
+        lib.qm2_sliding_canon(_u8p(codes), ctypes.c_int64(len(codes)),
+                              ctypes.c_int32(k), _u64p(canon), _u8p(flags))
+    return canon, (flags & 1) != 0, (flags & 2) != 0
+
+
 def thin_hits(bp: np.ndarray, thin: int) -> np.ndarray:
     lib = get_lib()
     bp = np.ascontiguousarray(bp, dtype=np.uint32)
