@@ -337,11 +337,14 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
     if n == 0:
         return np.zeros(0, np.uint32)
 
-    # database W = uniq ∪ rc(uniq) minus palindrome duplicates
+    # database W = [uniq, rc(uniq)] (static 2n shape), palindromic rc
+    # lanes DEAD via slot 255 — the device rebuilds the rc half from
+    # the uniq codes (_build_w_device), so only 8 B/distinct + 1 B occ
+    # cross the link instead of ~16 B + occ for both halves
     rc_db = _rc_np(uniq, k)
     pal = rc_db == uniq
-    w = np.concatenate([uniq, rc_db[~pal]])
-    w_occ = np.concatenate([occ, occ[~pal]]).astype(np.uint32)
+    w = np.concatenate([uniq, rc_db])
+    w_live = np.concatenate([np.ones(len(uniq), bool), ~pal])
     whi, wlo = codec.split_u64(w)
     qhi, qlo = codec.split_u64(np.asarray(unique_kmers, np.uint64))
 
@@ -369,7 +372,8 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
     for i in range(3):
         over_w = np.zeros(n_bkts[i], bool)
         for c in chunks:
-            hw = np.bincount(part_keys_w[i][c], minlength=n_bkts[i])
+            hw = np.bincount(part_keys_w[i][c][w_live[c]],
+                             minlength=n_bkts[i])
             over_w |= hw > cpad
         slow |= over_w[part_keys_q[i]]
     # stage 2 (query side): queries process in CHUNKS of chunk_q, and
@@ -383,10 +387,21 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
     sums = np.zeros(n, np.uint64)
 
     if len(fast_idx_all):
-        whi_d = jnp.asarray(whi)
-        wlo_d = jnp.asarray(wlo)
-        wocc_d = jnp.asarray(w_occ.astype(np.uint8))
+        uhi, ulo = codec.split_u64(uniq)
+        whi_d, wlo_d = _build_w_device(jnp.asarray(uhi), jnp.asarray(ulo),
+                                       k=k)
+        occ_d = jnp.asarray(np.asarray(occ, np.uint8))
+        wocc_d = jnp.concatenate([occ_d, occ_d])
         wslots = {}
+
+        def w_slots(i: int, ci: int) -> np.ndarray:
+            if (i, ci) not in wslots:
+                c = chunks[ci]
+                live = w_live[c]
+                s8 = np.full(c.stop - c.start, 255, np.uint8)
+                s8[live] = _slots_u8(part_keys_w[i][c][live])
+                wslots[(i, ci)] = s8
+            return wslots[(i, ci)]
         for qc0 in range(0, len(fast_idx_all), chunk_q):
             qsel = fast_idx_all[qc0: qc0 + chunk_q]
             chunk_slow = np.zeros(len(qsel), bool)
@@ -425,11 +440,9 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
                 qslot_d = _padq(_slots_u8(part_keys_q[i][qsel]),
                                 fill=np.uint8(255))
                 for ci, c in enumerate(chunks):
-                    if (i, ci) not in wslots:
-                        wslots[(i, ci)] = _slots_u8(part_keys_w[i][c])
                     scaled_d = _part_chunk_join(
                         whi_d[c], wlo_d[c], wocc_d[c],
-                        jnp.asarray(wslots[(i, ci)]),
+                        jnp.asarray(w_slots(i, ci)),
                         fqh_d, fql_d, qslot_d, scaled_d,
                         jnp.uint32(2 * s),
                         B=B, cpad=cpad, cpad_q=cq, slab=slab, e=e,
@@ -494,6 +507,44 @@ def _or_planes(a, b):
     return a | b
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _build_w_device(dhi, dlo, *, k: int):
+    """Word-side device arrays [dict, rc(dict)] — only the dict codes
+    cross the link; the rc half is computed on device (_rc_device).
+    Palindromic rc duplicates are excluded by host-side slot 255."""
+    rh, rl = _rc_device(dhi, dlo, k=k)
+    return jnp.concatenate([dhi, rh]), jnp.concatenate([dlo, rl])
+
+
+@jax.jit
+def _plane_mask(acc4):
+    """Packed nonzero-row bitmask of the per-query planes — crosses the
+    link at 1 bit/window instead of 16 B/window; the (rare) hot rows
+    are then gathered by index (_plane_gather)."""
+    return jnp.packbits((acc4 != 0).any(axis=1))
+
+
+@jax.jit
+def _plane_gather(acc4, idx):
+    return acc4[idx]
+
+
+def _fetch_hot_planes(acc_or, n_rows: int):
+    """(hot_row_indices, their plane rows) via the compacted two-step
+    fetch; ~1%o of windows are hot, so this replaces a 16 B/window D2H
+    with ~0.13 B/window + the hot rows."""
+    mask = np.unpackbits(np.asarray(jax.device_get(_plane_mask(acc_or))))
+    hot = np.flatnonzero(mask[:n_rows]).astype(np.int64)
+    if len(hot) == 0:
+        return hot, np.zeros((0, 4), np.uint32)
+    npad = 1 << max(10, (len(hot) - 1).bit_length())
+    idx = np.zeros(npad, np.int32)
+    idx[: len(hot)] = hot
+    rows = np.asarray(jax.device_get(_plane_gather(acc_or,
+                                                   jnp.asarray(idx))))
+    return hot, rows[: len(hot)]
+
+
 def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
                           k: int, cpad: int = 64, cpad_q: int = 32,
                           chunk_w: int = 12_000_000,
@@ -531,7 +582,11 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
     dict_kmers = np.asarray(dict_kmers, np.uint64)
     rc_db = _rc_np(dict_kmers, k)
     pal = rc_db == dict_kmers
-    w = np.concatenate([dict_kmers, rc_db[~pal]])
+    # W order = [dict, rc(dict)] with palindromic rc lanes DEAD (slot
+    # 255): a static 2n shape the device can rebuild from the dict
+    # codes alone — the rc half never crosses the link
+    w = np.concatenate([dict_kmers, rc_db])
+    w_live = np.concatenate([np.ones(len(dict_kmers), bool), ~pal])
     whi, wlo = codec.split_u64(w)
 
     ranges = part_ranges(k)
@@ -545,14 +600,24 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
         if (cp, i) not in over_w_by_cp:
             ov = np.zeros(n_bkts[i], bool)
             for c in chunks:
-                hw = np.bincount(part_keys_w[i][c], minlength=n_bkts[i])
+                hw = np.bincount(part_keys_w[i][c][w_live[c]],
+                                 minlength=n_bkts[i])
                 ov |= hw > cp
             over_w_by_cp[(cp, i)] = ov
         return over_w_by_cp[(cp, i)]
 
-    whi_d = jnp.asarray(whi)
-    wlo_d = jnp.asarray(wlo)
+    dhi, dlo = codec.split_u64(dict_kmers)
+    whi_d, wlo_d = _build_w_device(jnp.asarray(dhi), jnp.asarray(dlo), k=k)
     wslots: dict = {}
+
+    def w_slots(cp: int, i: int, ci: int) -> np.ndarray:
+        if (cp, i, ci) not in wslots:
+            c = chunks[ci]
+            live = w_live[c]
+            s8 = np.full(c.stop - c.start, 255, np.uint8)
+            s8[live] = _slots_u8(part_keys_w[i][c][live])
+            wslots[(cp, i, ci)] = s8
+        return wslots[(cp, i, ci)]
 
     def _host_canon(codes):
         from quickmer2_tpu.utils import native
@@ -601,19 +666,16 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
                 qslot[active] = _slots_u8(part_keys_q[i][active])
                 qslot_d = jnp.asarray(qslot)
                 for ci, c in enumerate(chunks):
-                    if (cp, i, ci) not in wslots:
-                        wslots[(cp, i, ci)] = _slots_u8(part_keys_w[i][c])
                     fresh = _part_chunk_join_bits(
-                        whi_d[c], wlo_d[c], jnp.asarray(wslots[(cp, i, ci)]),
+                        whi_d[c], wlo_d[c], jnp.asarray(w_slots(cp, i, ci)),
                         chi_d, clo_d, fwd_d, qslot_d,
                         jnp.zeros((chunk_q + 1, 4), jnp.uint32),
                         jnp.uint32(2 * s),
                         B=B, cpad=cp, cpad_q=cpq, slab=sl, k=k,
                         width=2 * (t - s))
                     acc_or = _or_planes(acc_or, fresh[:-1])
-            planes = np.asarray(jax.device_get(acc_or))
-            gsel_loc = np.flatnonzero(active).astype(np.int64)
-            _smear_planes(nb, t0 + gsel_loc, planes[gsel_loc], k)
+            hot, rows = _fetch_hot_planes(acc_or, chunk_q)
+            _smear_planes(nb, t0 + hot, rows, k)
             leftover = valid & slow
             if leftover.any():
                 li = np.flatnonzero(leftover)
@@ -664,18 +726,16 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
                 qslot_d = _padq(_slots_u8(part_keys_q[i][qpos]),
                                 fill=np.uint8(255))
                 for ci, c in enumerate(chunks):
-                    if (cp, i, ci) not in wslots:
-                        wslots[(cp, i, ci)] = _slots_u8(part_keys_w[i][c])
                     fresh = _part_chunk_join_bits(
-                        whi_d[c], wlo_d[c], jnp.asarray(wslots[(cp, i, ci)]),
+                        whi_d[c], wlo_d[c], jnp.asarray(w_slots(cp, i, ci)),
                         fqh_d, fql_d, ffw_d, qslot_d,
                         jnp.zeros((npad + 1, 4), jnp.uint32),
                         jnp.uint32(2 * s),
                         B=B, cpad=cp, cpad_q=cpq, slab=sl, k=k,
                         width=2 * (t - s))
                     acc_or = _or_planes(acc_or, fresh[:-1])
-            planes = np.asarray(jax.device_get(acc_or))[:n_q]
-            _smear_planes(nb, gsel[qpos], planes, k)
+            hot, rows = _fetch_hot_planes(acc_or, n_q)
+            _smear_planes(nb, gsel[qpos[hot]], rows, k)
             del fqh_d, fql_d, ffw_d, acc_or
         return slow
 
@@ -697,6 +757,33 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
             _slow_bits_np(nb, gsel[still], fwd_q, rc_q,
                           np.sort(dict_kmers), k)
     return nb
+
+
+def _rev2bit32(x):
+    """Reverse the 16 2-bit symbols of a u32 (log-step swaps)."""
+    x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    return (x << 16) | (x >> 16)
+
+
+def _rc_device(hi, lo, *, k: int):
+    """Exact reverse complement of 2k-bit codes as u32 pairs on device:
+    complement = per-symbol XOR 0b10, then reverse the 32 symbols of
+    the u64 and realign to the low 2k bits. Matches _rc_np bit-for-bit
+    (complement (c-2)&3 == c^2 for 2-bit codes)."""
+    two_k = 2 * k
+    hi_bits = max(two_k - 32, 0)
+    ch = hi ^ jnp.uint32(0xAAAAAAAA & ((1 << hi_bits) - 1))
+    cl = lo ^ jnp.uint32(0xAAAAAAAA & ((1 << min(two_k, 32)) - 1))
+    rhi = _rev2bit32(cl)
+    rlo = _rev2bit32(ch)
+    sh = 64 - two_k
+    if sh == 0:
+        return rhi, rlo
+    if sh < 32:
+        return rhi >> sh, (rlo >> sh) | (rhi << (32 - sh))
+    return jnp.zeros_like(rhi), rhi >> (sh - 32)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
