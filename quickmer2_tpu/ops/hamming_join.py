@@ -550,7 +550,7 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
                           chunk_w: int = 12_000_000,
                           chunk_q: int = 2_000_000,
                           escalate: bool = True,
-                          escalate_min: int = 2_000_000) -> np.ndarray:
+                          escalate_min: int = 50_000) -> np.ndarray:
     """Neighbor-hit bitmap of the genome against the dictionary as a
     HAMMING JOIN (VERDICT r4 Next #6) — same output as
     ops.anchored.build_neighbor_bits: u8[G], bit b of byte e set iff
