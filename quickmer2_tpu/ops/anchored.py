@@ -936,8 +936,8 @@ class AnchoredDepthCounter:
                  tier2_run_width: int = 32,
                  anchor_offsets: tuple | None = None,
                  neighbor_mode: bool | None = None,
-                 spill_lag: int = 3, pack_h2d: bool = True,
-                 prefetch_puts: bool = True, put_depth: int = 1,
+                 spill_lag: int = 16, pack_h2d: bool = True,
+                 prefetch_puts: bool = True, put_depth: int = 4,
                  mono_spill: bool = True):
         self.index = index
         self.k = k
