@@ -570,9 +570,11 @@ def hamming_neighbor_bits(genome_codes: np.ndarray, dict_kmers: np.ndarray,
     flags are recomputed on device (one small jit); only the 1-byte
     in-bucket slots (3 parts) follow. Host kmerization uses the native
     C qm2_sliding_canon (~100x numpy). Windows in overflowed buckets
-    (repeat tracts) re-join once at cpad 240 when the slow set is
-    large, and the residual enumerates variants on the host against
-    the sorted dictionary."""
+    (repeat tracts) enumerate their 3k variants on the host against
+    the sorted dictionary; the 240-wide re-join escalation exists but
+    is OFF by default (measured 2x slower than host enumeration on a
+    realistic 8.8 Mb genome, 222 s vs 116 s — its B*240-lane layouts
+    thrash HBM)."""
     import jax.numpy as jnp
 
     G = len(genome_codes)
