@@ -584,15 +584,37 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
     if dict_axis is not None:
         fstk = jax.lax.psum(fstk.astype(jnp.uint32), dict_axis) > 0
         pstk = jax.lax.psum(pstk, dict_axis)
-    a_found = jnp.zeros(R, bool)
-    a_pos = jnp.zeros(R, jnp.int32)
-    a_off = jnp.zeros(R, jnp.int32)
-    for i, j in enumerate(anchor_offsets):
-        f = fstk[i] & valid[:, j]
-        take = f & ~a_found
-        a_pos = jnp.where(take, pstk[i].astype(jnp.int32), a_pos)
-        a_off = jnp.where(take, j, a_off)
-        a_found = a_found | f
+    # majority-vote anchor selection: each found anchor implies an
+    # alignment — fwd start pos-(k-1)-j, rc end pos+j — and anchors
+    # from the SAME origin locus agree on it, while an anchor landing
+    # in the wrong copy of a repeat does not. Score every anchor by
+    # how many anchors agree with its implied alignment (either
+    # strand hypothesis) and take the best (ties → earliest). Reads
+    # whose first-found anchor sat in a repeat copy previously
+    # mis-aligned, mass-mismatched, and spilled to the exact path
+    # (~4% structural spill at 0.1%/bp in BENCH_r05); agreement
+    # costs 2*A^2 compares per read and no extra fetches.
+    A = len(anchor_offsets)
+    offs_arr = jnp.asarray(anchor_offsets, jnp.int32)
+    av = jnp.stack([fstk[i] & valid[:, j]
+                    for i, j in enumerate(anchor_offsets)])   # (A, R)
+    p_i32 = pstk.astype(jnp.int32)
+    s_cand = p_i32 - (k - 1) - offs_arr[:, None]              # fwd start
+    g_cand = p_i32 + offs_arr[:, None]                        # rc end
+    agree_f = jnp.zeros((A, R), jnp.int32)
+    agree_r = jnp.zeros((A, R), jnp.int32)
+    for i in range(A):
+        for j2 in range(A):
+            okj = av[j2]
+            agree_f = agree_f.at[i].add(
+                (okj & (s_cand[j2] == s_cand[i])).astype(jnp.int32))
+            agree_r = agree_r.at[i].add(
+                (okj & (g_cand[j2] == g_cand[i])).astype(jnp.int32))
+    score = jnp.where(av, jnp.maximum(agree_f, agree_r), 0)   # (A, R)
+    best = jnp.argmax(score, axis=0).astype(jnp.int32)        # first max
+    a_found = jnp.any(av, axis=0)
+    a_pos = jnp.take_along_axis(p_i32, best[None, :], axis=0)[0]
+    a_off = offs_arr[best]
 
     # --- genome windows, both strands ---------------------------------
     G = genome_tiles.shape[0] * GBLK
@@ -1124,8 +1146,8 @@ class AnchoredDepthCounter:
             except (AttributeError, RuntimeError):
                 pass
             self._inflight.append((batch, ub, "exactmask"))
-            while len(self._inflight) > self._lag:
-                self._drain_one()
+            if len(self._inflight) > self._lag:
+                self._drain_all()
             return
         if put is not None:
             fmt, pk, aux = put
@@ -1141,7 +1163,7 @@ class AnchoredDepthCounter:
         """Recount this exact batch's unresolved window lanes against
         the mono side table (host; O(lanes))."""
         W = self.read_len - self.k + 1
-        mask = np.unpackbits(np.asarray(jax.device_get(ub)))
+        mask = np.unpackbits(np.asarray(ub))
         lanes = np.flatnonzero(mask[: len(batch) * W])
         if len(lanes) == 0:
             return
@@ -1203,8 +1225,8 @@ class AnchoredDepthCounter:
         except (AttributeError, RuntimeError):
             pass
         self._inflight.append((batch, mask, kind))
-        while len(self._inflight) > self._lag:
-            self._drain_one()
+        if len(self._inflight) > self._lag:
+            self._drain_all()
 
     def _merged_accumulators(self) -> tuple[np.ndarray, np.ndarray]:
         diff = np.asarray(jax.device_get(self.diff)).astype(np.uint32)
@@ -1222,20 +1244,44 @@ class AnchoredDepthCounter:
             return
         self._enqueue(2, batch)
 
-    def _drain_one(self) -> None:
-        """Materialize the oldest in-flight spill mask and route its
-        spilled reads (tier1 → the tier-2 queue, tier2 → the exact
-        queue). Queues flush into _run_tier2/_run_exact when a full
-        dense batch accumulates."""
+    def _drain_all(self) -> None:
+        """Materialize EVERY in-flight spill mask in ONE device→host
+        transfer per mask kind and route the spilled reads in order.
+        One fetch per lag-full of batches instead of one round trip per
+        batch: the bench's replay breakdown showed per-batch mask
+        fetches cost a full link round trip each (~46 ms on the tunnel
+        harness — 62% of the replay wall, BENCH_r05)."""
         import time as _time
-        t0 = _time.time()
-        batch, mask, tier = self._inflight.popleft()
-        if tier == "exactmask":
-            self._drain_exact_mask(batch, mask)
-            self.phase_s["drain"] += _time.time() - t0
+        if not self._inflight:
             return
-        sp = np.asarray(mask).reshape(-1).astype(bool)
+        t0 = _time.time()
+        items = list(self._inflight)
+        self._inflight.clear()
+        tier_masks = [m for _, m, t in items if t != "exactmask"]
+        exact_masks = [m for _, m, t in items if t == "exactmask"]
+        if tier_masks:
+            flat = np.asarray(jax.device_get(
+                jnp.concatenate([m.reshape(-1) for m in tier_masks])))
+        if exact_masks:
+            eflat = np.asarray(jax.device_get(
+                jnp.concatenate([m.reshape(-1) for m in exact_masks])))
         self.phase_s["drain"] += _time.time() - t0
+        toff = eoff = 0
+        for batch, mask, tier in items:
+            if tier == "exactmask":
+                n = mask.shape[0]
+                self._drain_exact_mask(batch, eflat[eoff:eoff + n])
+                eoff += n
+            else:
+                n = int(np.prod(mask.shape))
+                self._route_spill(batch, flat[toff:toff + n], tier)
+                toff += n
+
+    def _route_spill(self, batch: np.ndarray, sp: np.ndarray, tier) -> None:
+        """Route one batch's materialized spill mask (tier1 → the
+        tier-2 queue, tier2 → the exact queue). Queues flush into
+        _run_tier2/_run_exact when a full dense batch accumulates."""
+        sp = np.asarray(sp).reshape(-1).astype(bool)
         n_sp = int(sp.sum())
         if not n_sp:
             return
@@ -1280,8 +1326,7 @@ class AnchoredDepthCounter:
                or self._spill2_rows):
             while self._put_q:
                 self._dispatch_oldest()
-            while self._inflight:
-                self._drain_one()
+            self._drain_all()
             if self._spill_rows:
                 parts, self._spill, self._spill_rows = self._spill, [], 0
                 self._flush_padded(parts, self._run_tier2)
@@ -1327,8 +1372,7 @@ class AnchoredDepthCounter:
         never lagged."""
         while self._put_q:
             self._dispatch_oldest()
-        while self._inflight:
-            self._drain_one()
+        self._drain_all()
         arrays = {"diff": np.asarray(jax.device_get(self.diff)),
                   "exact_acc": np.asarray(jax.device_get(self.exact_acc)),
                   "pending": self._cat_rows(self._pending),
