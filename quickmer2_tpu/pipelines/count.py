@@ -282,13 +282,13 @@ def detect_format(path: str) -> str:
     return "fastq" if first == b"@" else "fasta-lines"
 
 
-# layout="auto" crossover: the sort-join engine's per-tile sort carries
-# the n dictionary lanes as overhead, so its rate is ~lane_rate *
-# q_tile/(n + q_tile); with the measured v5e lane rate (~142 M lanes/s,
-# BENCH_r04) it overtakes the mono scatter engine (~96 M kmers/s) when
-# n is below roughly half the 2^20-lane tile. Calibrated threshold —
-# see tools/microbench_exact.py sortjoin sweep.
-AUTO_SORTJOIN_MAX_N = 1 << 19
+# layout="auto" crossover, calibrated by the BENCH_r05 sweep (2^20-lane
+# tiles, v5e): sortjoin 120.0 M kmers/s at n=2^14, 112.5 M at 2^17,
+# 103.2 M at 2^18, 77.3 M at 2^19 vs mono's 84-96 M — the sort engine
+# clears the ~105 M scatter wall (dense adds, no scatter) while the
+# dictionary stays well under the tile, and loses once dict lanes
+# crowd the sort. Crossover sits between 2^18 and 2^19.
+AUTO_SORTJOIN_MAX_N = 1 << 18
 
 
 class DepthCounter:
