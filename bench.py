@@ -414,7 +414,7 @@ def tier1_diag(jax, jnp, dic, index, genome):
 
     @jax.jit
     def many(reads, rows, tiles, dblock, diff):
-        spill = jnp.zeros(R, bool)
+        spill = jnp.zeros(R, jnp.int8)     # kernel returns spill CODES
 
         def body(i, st):
             diff, _ = st

@@ -686,8 +686,8 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
             jnp.where(d_starts >= 0, d_ends - d_starts < dirty_run_width, True),
             axis=1)
         covered = (n_dirty_runs <= max_dirty_runs) & widths_ok
-        spilled = (~a_found & jnp.any(valid, axis=1)) \
-            | (n_runs > max_runs) | ~covered
+        unanch = ~a_found & jnp.any(valid, axis=1)
+        spilled = unanch | (n_runs > max_runs) | ~covered
     elif neighbor_mode and max_dirty == 0:
         # Neighbor-bit fast discard: a read whose mismatches are all
         # (a) genuine base-vs-base substitutions, (b) pairwise >= k
@@ -724,11 +724,11 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
         mm_close = jnp.any((csm[:, hi_c] - csm[:, lo_c]) >= 2, axis=1)
         nb_hit = jnp.any(
             mm_sub & (((g_nb >> b_gen) & jnp.uint8(1)) != 0), axis=1)
-        spilled = (anyvalid & (~a_found | ~in_range)) \
-            | (n_runs > max_runs) | mm_bad | mm_close | nb_hit
+        unanch = anyvalid & (~a_found | ~in_range)
+        spilled = unanch | (n_runs > max_runs) | mm_bad | mm_close | nb_hit
     else:
-        spilled = (~a_found & jnp.any(valid, axis=1)) \
-            | (n_runs > max_runs) | (n_dirty > max_dirty)
+        unanch = ~a_found & jnp.any(valid, axis=1)
+        spilled = unanch | (n_runs > max_runs) | (n_dirty > max_dirty)
     active = ~spilled
 
     # --- clean runs → range-adds --------------------------------------
@@ -823,7 +823,17 @@ def anchored_count_kernel(reads, rows, genome_tiles, dblock, diff, spill_mask,
         diff = diff.at[jnp.minimum(point + 1, trash)].add(
             jnp.uint32(0) - 1, mode="promise_in_bounds")
 
-    return diff, spilled
+    # spill CODE: 0 counted here; 1 spilled, may anchor (tier-2 can
+    # rescue); 2 spilled AND unanchorable — the spill population is
+    # dominated by repeat-interior reads with no dictionary content
+    # (measured ~3.6% of 4.0% at 0.1%/bp), and re-running the anchored
+    # kernel on them in tier 2 cannot succeed, so the caller routes
+    # code-2 reads straight to the exact path (one fewer device pass
+    # and one fewer re-upload for ~90% of spills)
+    sp_code = jnp.where(spilled,
+                        jnp.where(unanch, jnp.int8(2), jnp.int8(1)),
+                        jnp.int8(0))
+    return diff, sp_code
 
 
 anchored_count_batch = jax.jit(
@@ -952,7 +962,7 @@ class AnchoredDepthCounter:
     """
 
     def __init__(self, index: AnchoredIndex, k: int, read_len: int,
-                 batch_reads: int = 1 << 15, max_runs: int = 4,
+                 batch_reads: int | None = None, max_runs: int = 4,
                  max_dirty: int = 0, tier2_max_dirty: int = 0,
                  tier2_max_runs: int = 6, tier2_dirty_runs: int = 2,
                  tier2_run_width: int = 32,
@@ -984,6 +994,13 @@ class AnchoredDepthCounter:
         # run ~1.6x faster end-to-end than 128k/depth-1/lag-3).
         self._put_q = collections.deque()
         self._put_depth = put_depth
+        # default batch sizes by LANES, not rows: at 1024-wide HiFi
+        # segment rows a 2^15-row batch is 33.5M lanes and the exact
+        # recount's sliding-codec temporaries (7+ u32 arrays) OOM'd a
+        # 16 GB chip (round-5 HiFi rehearsal); 2^22 lanes ≈ the shape
+        # the e2e bench tuned at 150 bp
+        if batch_reads is None:
+            batch_reads = max(1 << 12, (1 << 22) // read_len)
         self.batch_reads = batch_reads
         self.max_runs = max_runs
         self.max_dirty = max_dirty
@@ -1278,31 +1295,40 @@ class AnchoredDepthCounter:
                 toff += n
 
     def _route_spill(self, batch: np.ndarray, sp: np.ndarray, tier) -> None:
-        """Route one batch's materialized spill mask (tier1 → the
-        tier-2 queue, tier2 → the exact queue). Queues flush into
-        _run_tier2/_run_exact when a full dense batch accumulates."""
-        sp = np.asarray(sp).reshape(-1).astype(bool)
-        n_sp = int(sp.sum())
+        """Route one batch's materialized spill codes: tier1 code 1 →
+        the tier-2 queue, tier1 code 2 (unanchorable) and any tier2
+        spill → the exact queue. Queues flush into _run_tier2/_run_exact
+        when a full dense batch accumulates."""
+        sp = np.asarray(sp).reshape(-1)
+        n_sp = int((sp != 0).sum())
         if not n_sp:
             return
         if tier == 1:
             self.n_spilled += n_sp
-            self._spill.append(batch[sp])
-            self._spill_rows += n_sp
-            while self._spill_rows >= self.batch_reads:
-                buf = np.concatenate(self._spill)
-                self._spill = [buf[self.batch_reads:]]
-                self._spill_rows = len(self._spill[0])
-                self._run_tier2(buf[: self.batch_reads])
+            t2 = sp == 1
+            ex = sp == 2
+            if t2.any():
+                self._spill.append(batch[t2])
+                self._spill_rows += int(t2.sum())
+                while self._spill_rows >= self.batch_reads:
+                    buf = np.concatenate(self._spill)
+                    self._spill = [buf[self.batch_reads:]]
+                    self._spill_rows = len(self._spill[0])
+                    self._run_tier2(buf[: self.batch_reads])
+            if ex.any():
+                self._enqueue_exact_rows(batch[ex])
         else:
-            self.n_spilled2 += n_sp
-            self._spill2.append(batch[sp])
-            self._spill2_rows += n_sp
-            while self._spill2_rows >= self.batch_reads:
-                buf = np.concatenate(self._spill2)
-                self._spill2 = [buf[self.batch_reads:]]
-                self._spill2_rows = len(self._spill2[0])
-                self._run_exact(buf[: self.batch_reads])
+            self._enqueue_exact_rows(batch[sp != 0])
+
+    def _enqueue_exact_rows(self, rows: np.ndarray) -> None:
+        self.n_spilled2 += len(rows)
+        self._spill2.append(rows)
+        self._spill2_rows += len(rows)
+        while self._spill2_rows >= self.batch_reads:
+            buf = np.concatenate(self._spill2)
+            self._spill2 = [buf[self.batch_reads:]]
+            self._spill2_rows = len(self._spill2[0])
+            self._run_exact(buf[: self.batch_reads])
 
     def _run_exact(self, batch: np.ndarray) -> None:
         self._enqueue("exact", batch)

@@ -50,10 +50,12 @@ class ShardedAnchoredCounter(AnchoredDepthCounter):
     and bit-identical output for every mesh shape."""
 
     def __init__(self, index: AnchoredIndex, k: int, read_len: int,
-                 mesh: Mesh, batch_reads: int = 1 << 15, **kw):
+                 mesh: Mesh, batch_reads: int | None = None, **kw):
         self.mesh = mesh
         self.dp = mesh.shape["data"]
         self.ds = mesh.shape.get("dict", 1)
+        if batch_reads is None:     # lanes-based default (see base class)
+            batch_reads = max(1 << 12, (1 << 22) // read_len)
         batch_reads = -(-batch_reads // self.dp) * self.dp
         # the sharded exact step runs the packed probe under shard_map
         # (it reuses the possibly-dict-sharded index rows); the mono
