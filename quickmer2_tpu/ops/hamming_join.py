@@ -310,7 +310,7 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
                           slab_buckets: int | None = None,
                           packed_rows=None, n_buckets_packed: int = 0,
                           batch_slow: int = 4096,
-                          escalate: int = 1,
+                          escalate: int = 0,
                           escalate_min: int = 1024) -> np.ndarray:
     """Neighbor-occurrence sums for `unique_kmers` (queries) against the
     distinct-genome-k-mer multiset (`uniq` canonical u64, `occ` u8/u32
@@ -455,13 +455,13 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
         del whi_d, wlo_d, wocc_d   # free before the slow-path table
 
     slow_idx = np.flatnonzero(slow)
-    # escalation: before any per-neighbor enumeration, rerun the JOIN on
-    # the slow set with much larger bucket pads (repeat families of up
-    # to ~240 copies become dense 240-wide compares — still VPU work,
-    # no random probes). Only the residual (microsatellite-grade hot
-    # buckets) falls through to enumeration. Without this, a
-    # repeat-rich 40 Mb genome put ~8% of queries on the enumeration
-    # path — tens of host-minutes; with it, the residual is tiny.
+    # escalation (OFF by default since r5): the 240-wide re-join's
+    # B*240-lane layouts compile for tens of minutes at new shapes and
+    # thrash HBM (the r5 40 Mb rehearsal stalled in exactly this
+    # compile; the bits-join A/B measured the same formulation 2x
+    # slower than its alternatives). The slow path below routes
+    # through the caller's packed table (device per-neighbor probes)
+    # or host searchsorted enumeration — both measured and bounded.
     if len(slow_idx) > escalate_min and escalate > 0 and cpad < 240:
         sums[slow_idx] = hamming_neighbor_sums(
             np.asarray(unique_kmers, np.uint64)[slow_idx], uniq, occ, k, e,
