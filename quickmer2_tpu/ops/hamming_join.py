@@ -309,7 +309,7 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
                           chunk_q: int = 4_000_000,
                           slab_buckets: int | None = None,
                           packed_rows=None, n_buckets_packed: int = 0,
-                          batch_slow: int = 4096,
+                          batch_slow: int = 16384,
                           escalate: int = 0,
                           escalate_min: int = 1024) -> np.ndarray:
     """Neighbor-occurrence sums for `unique_kmers` (queries) against the
@@ -332,10 +332,18 @@ def hamming_neighbor_sums(unique_kmers: np.ndarray, uniq: np.ndarray,
     from quickmer2_tpu.ops.packed_table import PackedTable
 
     assert 1 <= e <= 2
-    assert cpad <= 255 and cpad_q <= 255   # in-bucket slots travel as u8
     n = len(unique_kmers)
     if n == 0:
         return np.zeros(0, np.uint32)
+    if cpad == 64 and len(uniq) > 20_000_000:
+        # repeat-family bucket loads scale with W: at chr21+ scales the
+        # cpad-64 overflow routed a slow set large enough to grind ~50
+        # minutes of per-neighbor probes (r5 40 Mb attempt). Wider pads
+        # quadruple the compare volume per bucket (still VPU work,
+        # ~seconds at this scale) and shrink the slow set instead;
+        # exactness is pad-independent.
+        cpad, cpad_q = 128, 64
+    assert cpad <= 255 and cpad_q <= 255   # in-bucket slots travel as u8
 
     # database W = [uniq, rc(uniq)] (static 2n shape), palindromic rc
     # lanes DEAD via slot 255 — the device rebuilds the rc half from
